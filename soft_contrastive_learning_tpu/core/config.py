@@ -1,0 +1,248 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's argparse-flags-promoted-to-UPPERCASE-globals pattern
+(reference train/train.py:1222-1368, util/helper.py:4-6) with frozen dataclasses
+that serialize into the run directory. Derived config (``pn_loss``,
+``distance_type``, tuple shape) mirrors reference train/train.py:1373-1391 and
+:585-594 but is computed once, immutably, at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+def _derive_distance_type(loss: str) -> str:
+    """Infer the host-side distance payload the loss needs.
+
+    Mirrors reference train/train.py:1378-1391 (order matters: 'pairwise' before
+    'distance', 'swrd' before 'wrd').
+    """
+    if "pairwise" in loss:
+        return "pairwise"
+    if "distance" in loss:
+        return "anchor"
+    if "swrd" in loss:
+        return "swrd"
+    if "wrd" in loss:
+        return "wrd"  # also prodwrd / sumwrd
+    if "wms" in loss:
+        return "wms"
+    if "logratio" in loss:
+        return "logratio"
+    return "none"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture configuration.
+
+    Mirrors the reference's VLAD_CORES / REDUCTION / OUT_DIM / L flags
+    (reference train/train.py:1283-1287) and the backbone selection logic in
+    build_model (reference train/train.py:599-652).
+    """
+
+    vlad_cores: int = 64  # 0 => plain VGG16 (flattened / spp); 64 => NetVLAD
+    reduction: str = "none"  # none | 1fc | 2fc | 3fc | pca | spp
+    out_dim: int = 512
+    spp_levels: int = 3  # 'L' flag: spatial-pyramid-pooling levels
+    image_height: int = 180
+    image_width: int = 240
+    channels: int = 3
+    # TPU-first knobs (new capability, no reference equivalent):
+    compute_dtype: str = "bfloat16"  # activations dtype for the conv stack
+    param_dtype: str = "float32"
+    use_pallas: bool = True  # fused Pallas NetVLAD aggregation on TPU
+    remat: bool = False  # jax.checkpoint the conv stack to trade FLOPs for HBM
+
+    @property
+    def descriptor_dim(self) -> int:
+        """Raw descriptor dimensionality before reduction."""
+        if self.reduction == "spp":
+            # SPP over the (H/16, W/16, 512) conv5_3 map: sum_{l<L} 4^l bins x 512 ch
+            return sum(4**l for l in range(self.spp_levels)) * 512
+        if self.vlad_cores > 0:
+            return self.vlad_cores * 512
+        # flattened conv5_3 map (reference train/train.py:611)
+        return (self.image_height // 16) * (self.image_width // 16) * 512
+
+    @property
+    def output_dim(self) -> int:
+        """Dimensionality after the reduction head."""
+        if self.reduction in ("1fc", "2fc", "3fc", "pca"):
+            return self.out_dim
+        return self.descriptor_dim
+
+
+@dataclass(frozen=True)
+class TupleConfig:
+    """Tuple geometry for the sampler (reference train/train.py:1241-1296)."""
+
+    positives_per_tuple: int = 12
+    negatives_per_tuple: int = 12
+    hard_positives_per_tuple: int = 6
+    hard_negatives_per_tuple: int = 6
+    mutually_exclusive_negs: bool = True
+    max_pos_radius: float = 15.0
+    min_neg_radius: float = 15.0
+    max_yaw_diff: float = 3.141592653589793 / 6.0  # reference train/train.py:458
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss selection + hyperparameters (reference train/train.py:1252-1263)."""
+
+    name: str = "wms"
+    margin_1: float = 0.1
+    margin_2: float = 0.2
+    lam: float = 0.5
+    alpha: float = 0.8  # geometric sigmoid steepness
+    beta: float = 15.0  # geometric sigmoid midpoint [m]
+    wfunction: str = "exp"  # exp | lin | tanh
+    sumfunction: str = "ms"  # ms | plain
+    ms_mining: bool = False
+    loss_dim: int = 512  # dims kept in spectral/incremental losses ('loss_dim' flag)
+    svd_dimensions: int = 10  # top singular values in the *rd family
+    d_max_squared: float = 15.0**2  # MAX_POS_RADIUS**2 (reference train/train.py:695)
+    f_max_squared: float = 2.0  # empirical scale (reference train/train.py:696)
+
+    @property
+    def distance_type(self) -> str:
+        return _derive_distance_type(self.name)
+
+    @property
+    def pn_loss(self) -> bool:
+        """Two-op alternating pos/neg optimization (reference train/train.py:1373)."""
+        return "eigenvalue" in self.name
+
+    @property
+    def needs_other_neg(self) -> bool:
+        """Quadruplet losses consume an extra 'other negative' member."""
+        return "quadruplet" in self.name
+
+    @property
+    def incremental(self) -> bool:
+        return "incremental" in self.name
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Full training-run configuration (reference train/train.py:1222-1314)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    tuples: TupleConfig = field(default_factory=TupleConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+
+    # Data roots (filesystem contract retained from the reference)
+    img_root: str = ""
+    shuffled_root: str = ""
+    loc_ref_root: str = ""
+    anchor_root: str = ""
+    checkpoint: str = ""
+    out_dir: str = ""
+
+    # Optimization
+    tuples_per_batch: int = 2
+    max_epoch: int = 5
+    base_lr: float = 5e-6
+    minimal_lr: float = 5e-12
+    lr_down_factor: float = 0.5
+    lr_down_frequency: float = 1.0
+    momentum: float = 0.9
+    optimizer: str = "adam"
+    dropout_keep_prob: float = 0.5  # reference train/train.py:273
+    forgetting_factor: float = 0.4  # incremental-PCA 'f' flag
+
+    # Mining / eval cadence
+    mining_step: int = 250
+    mining_cache_size: int = 1000
+    eval_step: int = 100
+    save_step: int = 500
+    num_eval_queries: int = 50
+    eval_ref_r: int = 5
+    train_ref_r: int = 1
+    max_to_keep: int = 1
+
+    # Set names
+    local_ref_set: str = "train_ref"
+    local_query_set: str = "train_query"
+    other_ref_set: str = "test_ref"
+    other_query_set: str = "test_query"
+
+    # Reproducibility + parallelism (TPU-native additions)
+    seed: int = 42
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data_shards: int = 0  # 0 => all local devices
+    num_model_shards: int = 1
+
+    @property
+    def tuple_shape(self) -> Tuple[int, ...]:
+        """Images per tuple: [anchor, P, N(, other)] (reference train/train.py:589-594).
+
+        For quadruplet losses the last negative becomes the 'other negative',
+        keeping total images per tuple constant.
+        """
+        p = self.tuples.positives_per_tuple
+        n = self.tuples.negatives_per_tuple
+        if self.loss.needs_other_neg:
+            return (1, p, n - 1, 1)
+        return (1, p, n)
+
+    @property
+    def images_per_batch(self) -> int:
+        return self.tuples_per_batch * sum(self.tuple_shape)
+
+    def encode_name(self) -> str:
+        """Hyperparameter-encoding run name (checkpoint-discovery parity with the
+        reference's folder-name scheme, e.g. ``al0.8_be15_ha6_lo-wms``)."""
+        t = self.tuples
+        parts = [
+            f"al{self.loss.alpha:g}",
+            f"be{self.loss.beta:g}",
+            f"ha{t.hard_negatives_per_tuple}",
+            f"lo-{self.loss.name}",
+            f"re-{self.model.reduction}",
+            f"vl{self.model.vlad_cores}",
+            f"tb{self.tuples_per_batch}",
+        ]
+        return "_".join(parts)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        d = dict(d)
+        if isinstance(d.get("model"), dict):
+            d["model"] = ModelConfig(**d["model"])
+        if isinstance(d.get("tuples"), dict):
+            d["tuples"] = TupleConfig(**d["tuples"])
+        if isinstance(d.get("loss"), dict):
+            d["loss"] = LossConfig(**d["loss"])
+        return cls(**d)
+
+    @classmethod
+    def load(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def unique_out_dir(out_root: str, base_name: str) -> str:
+    """Auto-increment ``_{k:03d}`` suffix when the dir exists
+    (reference train/train.py:1394-1400)."""
+    out_dir = os.path.join(out_root, base_name)
+    k = 0
+    while os.path.exists(out_dir):
+        out_dir = os.path.join(out_root, f"{base_name}_{k:03d}")
+        k += 1
+    return out_dir
