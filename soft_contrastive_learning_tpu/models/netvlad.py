@@ -42,7 +42,7 @@ def vlad_aggregate(
     a = jax.nn.softmax(assign_logits.astype(jnp.float32), axis=-1)
     x = features.astype(jnp.float32)
     # (B, K, D) soft-assigned feature mass — the only big matmul.
-    agg = jnp.einsum("bnk,bnd->bkd", a, x, preferred_element_type=jnp.float32)
+    agg = jnp.einsum("bnk,bnd->bkd", a, x, preferred_element_type=jnp.float32, precision="highest")
     mass = jnp.sum(a, axis=1)  # (B, K)
     v = agg + mass[:, :, None] * neg_centers.T[None, :, :]  # (B, K, D)
     # Intra-normalization over D per cluster (matconvnet eps inside the sqrt).
