@@ -1,0 +1,56 @@
+"""Hard-example mining cache.
+
+Capability parity with the reference's rolling embedding cache
+(reference train/train.py:1012-1068 refresh; consumed in get_tuple at
+:446-484): a window of recently-seen images is re-embedded every MINING_STEP
+steps, and the sampler asks for cache members sorted by embedding distance to
+a given anchor.
+
+The embedding itself happens on-device (trainer calls the jitted batch-embed);
+this class only holds the resulting host-side matrix and answers
+sorted-neighbor queries with one matmul + argsort — for the reference's cache
+sizes (1000 x 512) this is faster than rebuilding an sklearn KDTree and keeps
+numpy the only dependency.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+
+class MiningCache:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._features: Optional[np.ndarray] = None  # (C, D)
+        self._indices: Optional[np.ndarray] = None  # (C,) dataset indices
+        self._sq_norms: Optional[np.ndarray] = None
+
+    def refresh(self, features: np.ndarray, indices: np.ndarray) -> None:
+        features = np.asarray(features, dtype=np.float32)
+        with self._lock:
+            self._features = features
+            self._indices = np.asarray(indices)
+            self._sq_norms = np.sum(features * features, axis=1)
+
+    @property
+    def ready(self) -> bool:
+        with self._lock:
+            return self._features is not None and len(self._features) > 0
+
+    def sorted_neighbors(self, dataset_index: int) -> Optional[np.ndarray]:
+        """Dataset indices of all cache members sorted by ascending embedding
+        distance to ``dataset_index``'s cached embedding, or None if the index
+        is not cached (reference train/train.py:447-454)."""
+        with self._lock:
+            if self._features is None:
+                return None
+            pos = np.flatnonzero(self._indices == dataset_index)
+            if len(pos) == 0:
+                return None
+            q = self._features[pos[0]]
+            # ||x - q||^2 = ||x||^2 - 2 x.q + const; const drops out of argsort
+            order = np.argsort(self._sq_norms - 2.0 * (self._features @ q))
+            return self._indices[order]
