@@ -25,7 +25,10 @@ _EPS = 1e-12
 
 def _netvlad_kernel(x_ref, s_ref, c_ref, out_ref):
     # x_ref: (1, N, D) features; s_ref: (1, N, K) logits; c_ref: (D, K) negated
-    # centers; out_ref: (1, D*K) descriptor.
+    # centers; out_ref: (1, D, K) fully-normalized VLAD in d-major layout.
+    # Everything stays in the (D, K) orientation — no transposes or flatten
+    # reshapes, which Mosaic's vector-layout inference rejects; the final
+    # (B, D, K) -> (B, D*K) collapse happens outside as a free XLA reshape.
     x = x_ref[0].astype(jnp.float32)  # (N, D)
     s = s_ref[0].astype(jnp.float32)  # (N, K)
 
@@ -34,23 +37,21 @@ def _netvlad_kernel(x_ref, s_ref, c_ref, out_ref):
     e = jnp.exp(s - s_max)
     a = e / jnp.sum(e, axis=-1, keepdims=True)  # (N, K)
 
-    # MXU: (K, N) @ (N, D) -> (K, D) soft-assigned mass.
+    # MXU: x^T @ a contracting N -> (D, K) soft-assigned mass.
     agg = jax.lax.dot_general(
-        a,
         x,
+        a,
         dimension_numbers=(((0,), (0,)), ((), ())),  # contract over N
         preferred_element_type=jnp.float32,
-    )  # (K, D)
-    mass = jnp.sum(a, axis=0)[:, None]  # (K, 1)
-    c_t = c_ref[:].astype(jnp.float32).T  # (K, D)
-    v = agg + mass * c_t  # (K, D)
+    )  # (D, K)
+    mass = jnp.sum(a, axis=0, keepdims=True)  # (1, K)
+    v = agg + c_ref[:].astype(jnp.float32) * mass  # (D, K)
 
-    # Intra-normalize each cluster row over D.
-    v = v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + _EPS)
-    # d-major flatten: (K, D) -> (D, K) -> (D*K,), then global L2 norm.
-    flat = v.T.reshape(1, -1)
-    flat = flat * jax.lax.rsqrt(jnp.sum(flat * flat) + _EPS)
-    out_ref[:] = flat
+    # Intra-normalize each cluster (column) over D.
+    v = v * jax.lax.rsqrt(jnp.sum(v * v, axis=0, keepdims=True) + _EPS)
+    # Global L2 norm over the whole descriptor.
+    v = v * jax.lax.rsqrt(jnp.sum(v * v) + _EPS)
+    out_ref[0] = v
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -66,7 +67,7 @@ def vlad_aggregate_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid = (b,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _netvlad_kernel,
         grid=grid,
         in_specs=[
@@ -74,8 +75,8 @@ def vlad_aggregate_pallas(
             pl.BlockSpec((1, n, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d * k), jnp.float32),
+        out_specs=pl.BlockSpec((1, d, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d, k), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k * d,
             bytes_accessed=4 * b * (n * d + n * k + d * k) + 4 * d * k,
@@ -83,6 +84,8 @@ def vlad_aggregate_pallas(
         ),
         interpret=interpret,
     )(features, assign_logits, neg_centers)
+    # d-major flatten (free row-major collapse in XLA).
+    return out.reshape(b, d * k)
 
 
 @jax.custom_vjp

@@ -1,0 +1,83 @@
+"""On-device brute-force top-k retrieval over a (shardable) descriptor index.
+
+TPU-native replacement for every sklearn-KDTree nearest-neighbor query in the
+reference (mining cache :1066, localization eval train/train.py:1181-1185,
+top-N eval evaluation/top-n.py:103-106): the reference database stays resident
+in HBM as a dense matrix, queries hit it with ONE MXU matmul, and
+``jax.lax.top_k`` selects neighbors. Under a mesh, the index is sharded over
+the data axis and per-shard top-k candidates are gathered and re-reduced —
+the 'sequence-parallel' analog for the retrieval axis (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from soft_contrastive_learning_tpu.ops.distances import cross_sq_dists
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_l2(
+    queries: jnp.ndarray,  # (Q, D)
+    refs: jnp.ndarray,  # (R, D)
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(distances, indices) of the k nearest refs per query, ascending L2.
+
+    Returns true (non-squared) L2 distances to match sklearn KDTree output.
+    """
+    sq = cross_sq_dists(queries, refs)
+    neg_top, idx = jax.lax.top_k(-sq, k)
+    return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), idx
+
+
+def topk_l2_sharded(
+    queries: jnp.ndarray,
+    refs: jnp.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded variant: refs row-sharded over ``axis``, queries replicated.
+
+    Each shard computes a local top-k over its rows; XLA's all_gather of the
+    (Q, shards*k) candidate set rides the ICI, and a final top-k merges.
+    Implemented with shard_map so the index matrix never materializes
+    unsharded.
+    """
+    if mesh is None or mesh.shape[axis] == 1:
+        return topk_l2(queries, refs, k)
+
+    n_shards = mesh.shape[axis]
+    r = refs.shape[0]
+    assert r % n_shards == 0, f"refs rows {r} must divide over {n_shards} shards"
+    shard_rows = r // n_shards
+
+    def local(q, r_shard):
+        # r_shard: (R/n, D) this shard's rows
+        sq = cross_sq_dists(q, r_shard)
+        neg_top, idx = jax.lax.top_k(-sq, min(k, shard_rows))
+        shard_id = jax.lax.axis_index(axis)
+        global_idx = idx + shard_id * shard_rows
+        # gather all shards' candidates: (Q, n*k)
+        neg_all = jax.lax.all_gather(neg_top, axis, axis=1, tiled=True)
+        idx_all = jax.lax.all_gather(global_idx, axis, axis=1, tiled=True)
+        neg_best, pos = jax.lax.top_k(neg_all, k)
+        best_idx = jnp.take_along_axis(idx_all, pos, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg_best, 0.0)), best_idx
+
+    from jax import shard_map
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, refs)

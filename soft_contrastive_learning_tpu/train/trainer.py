@@ -1,0 +1,408 @@
+"""The training orchestrator.
+
+Capability parity with the reference's train()/train_one_epoch()
+(reference train/train.py:917-1109) rebuilt around one jitted step:
+
+* per-epoch shuffled metadata + presampled anchors (filesystem or ToyCity
+  source; reference :1002-1009),
+* hard-example mining refresh every ``mining_step`` steps: re-embed a rolling
+  window + upcoming anchors on-device, rebuild the MiningCache, init/update
+  the streaming PCAs (reference :1012-1068),
+* eval every ``eval_step``: rolling checkpoint, held-out-region loss, and
+  localization AUC/%-within-radius on both regions (reference :1070-1092),
+* unbounded 'part' checkpoints every ``save_step`` and an 'epoch' checkpoint
+  per epoch (reference :1094-1102, :984),
+* host batch assembly (sampler + image decode) prefetched on a producer thread
+  while the device runs the previous step (the P1 pipeline, SURVEY.md §2),
+* full state checkpointing via orbax — params, optimizer, step, rng, PCA
+  states — so runs RESUME exactly (capability the reference lacks,
+  SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from soft_contrastive_learning_tpu.core.config import TrainConfig
+from soft_contrastive_learning_tpu.core.logging import MetricsWriter, RunLogger, StepTimer
+from soft_contrastive_learning_tpu.checkpoints.manager import RunCheckpoints, warm_start_params
+from soft_contrastive_learning_tpu.data.pipeline import (
+    Prefetcher,
+    assemble_batch,
+    load_images_standard,
+)
+from soft_contrastive_learning_tpu.losses.registry import build_loss
+from soft_contrastive_learning_tpu.models.model import create_model, init_params
+from soft_contrastive_learning_tpu.ops.topk import topk_l2
+from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
+from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
+from soft_contrastive_learning_tpu.sampling.mining import MiningCache
+from soft_contrastive_learning_tpu.sampling.tuples import TupleSampler
+from soft_contrastive_learning_tpu.train.step import (
+    build_embed_step,
+    build_eval_loss_step,
+    build_train_step,
+    init_train_state,
+)
+from soft_contrastive_learning_tpu.evaluation.metrics import (
+    localization_summary,
+    save_curve_plot,
+)
+from soft_contrastive_learning_tpu.utils.meta import get_xy, get_yaw
+
+
+def _rand_pairs(rng: np.random.Generator, n: int, m: int) -> List[Tuple[int, int]]:
+    """m distinct unordered index pairs out of n items
+    (reference rand_pairs/decode, train/train.py:41-51)."""
+    total = n * (n - 1) // 2
+    picks = rng.choice(total, size=min(m, total), replace=False)
+    out = []
+    for i in picks:
+        k = int((1 + np.sqrt(1 + 8 * i)) // 2)
+        out.append((k, int(i - k * (k - 1) // 2)))
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        source,
+        out_dir: Optional[str] = None,
+        mesh=None,
+        save_plots: bool = False,
+        warm_start_donor=None,
+    ):
+        self.cfg = cfg
+        self.source = source
+        self.mesh = mesh
+        self.save_plots = save_plots
+        self.out_dir = out_dir or cfg.out_dir or "."
+        os.makedirs(self.out_dir, exist_ok=True)
+        cfg.save(os.path.join(self.out_dir, "config.json"))
+
+        self.log = RunLogger(self.out_dir)
+        self.writers = {
+            "local": MetricsWriter(self.out_dir, "local"),
+            "other": MetricsWriter(self.out_dir, "other"),
+        }
+        self.timer = StepTimer()
+        self.ckpts = RunCheckpoints(self.out_dir, max_to_keep=cfg.max_to_keep)
+
+        self.model = create_model(cfg.model)
+        params = init_params(cfg.model, jax.random.key(cfg.seed), batch=1)
+        if warm_start_donor is not None:
+            params, copied = warm_start_params(params, warm_start_donor)
+            self.log(f"Warm-started scopes: {copied}")
+        self.state = init_train_state(cfg, params)
+
+        loss_fn = build_loss(cfg.loss, cfg.tuples, cfg.tuples_per_batch)
+        self.train_step = build_train_step(cfg, self.model, loss_fn)
+        self.eval_loss_step = build_eval_loss_step(cfg, self.model, loss_fn)
+        self.embed_step = build_embed_step(cfg, self.model)
+
+        self.mining_cache = MiningCache()
+        self.pca = StreamingPCA(cfg.model.out_dim, cfg.forgetting_factor) \
+            if cfg.model.reduction == "pca" else None
+        self.loss_pca = StreamingPCA(cfg.loss.loss_dim, cfg.forgetting_factor) \
+            if cfg.loss.incremental else None
+
+        self.rng = np.random.default_rng(cfg.seed)
+        self._pool = ThreadPoolExecutor(max_workers=8)
+        self.global_step = 0
+        self.used_images: set = set()
+
+    # ------------------------------------------------------------ helpers
+    def _sampler_for(self, meta) -> TupleSampler:
+        return TupleSampler(
+            self.cfg.tuples, self.cfg.loss, self.cfg.tuple_shape,
+            get_xy(meta), get_yaw(meta), rng=self.rng,
+        )
+
+    def _augment_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Attach the current streaming-PCA states (the reference's
+        v/m/var and l_s/l_v/l_m/l_seen placeholder feeds,
+        train/train.py:277-283)."""
+        if self.pca is not None and self.pca.initialized:
+            batch["pca_components"] = self.pca.v
+            batch["pca_mean"] = self.pca.m
+            batch["pca_variance"] = self.pca.var
+        if self.loss_pca is not None and self.loss_pca.initialized:
+            batch["loss_pca_s"] = self.loss_pca.s
+            batch["loss_pca_v"] = self.loss_pca.v
+            batch["loss_pca_m"] = self.loss_pca.m
+            batch["loss_pca_seen"] = np.float32(self.loss_pca.seen)
+        return batch
+
+    def extract_features(
+        self, meta, indices: Sequence[int], full_feats: bool = False
+    ) -> np.ndarray:
+        """Batched on-device embedding of ``meta`` rows ``indices``
+        (reference extract_features, train/train.py:1196-1213)."""
+        b = self.cfg.images_per_batch
+        idx = pad_to_multiple(np.asarray(indices, dtype=int), b)
+        feats = []
+        for start in range(0, len(idx), b):
+            chunk = idx[start : start + b]
+            keys = [(meta["date"][i], meta["folder"][i], meta["t"][i]) for i in chunk]
+            images = load_images_standard(self.source, keys, self.cfg, self._pool)
+            images = shard_batch(images, self.mesh)
+            output, full = self.embed_step(self.state.params, images)
+            feats.append(np.asarray(full if full_feats else output))
+        feats = np.concatenate(feats)[: len(indices)]
+        if (
+            not full_feats
+            and self.pca is not None
+            and self.pca.initialized
+            and self.cfg.model.reduction == "pca"
+        ):
+            feats = self.pca.whiten(feats)
+        return feats.astype(np.float32)
+
+    # ------------------------------------------------------------ mining
+    def _mining_refresh(
+        self, epoch: int, step: int, mining_count: int, meta, anchor_indices
+    ) -> None:
+        """Reference train/train.py:1012-1068."""
+        cfg = self.cfg
+        n_meta = len(meta["t"])
+        window = np.arange(
+            mining_count * cfg.mining_cache_size,
+            (mining_count + 1) * cfg.mining_cache_size,
+        ) % n_meta
+        upcoming = np.asarray(
+            anchor_indices[step : min(step + cfg.mining_step, len(anchor_indices))]
+        )
+        mine_idx = np.concatenate([window, upcoming])
+
+        full_feats = cfg.model.reduction == "pca"
+        feats = self.extract_features(meta, mine_idx, full_feats=full_feats)
+
+        if self.pca is not None:
+            if not self.pca.initialized:
+                self.pca.init(feats)
+            else:
+                self.pca.update_multi(feats, cfg.images_per_batch)
+            feats = self.pca.whiten(feats).astype(np.float32)
+
+        if self.loss_pca is not None and not self.loss_pca.initialized:
+            if "residual" in cfg.loss.name:
+                pairs = _rand_pairs(self.rng, len(mine_idx), cfg.loss.loss_dim + 1)
+                residuals = np.stack([feats[i] - feats[j] for i, j in pairs])
+                self.loss_pca.init(residuals)
+            else:
+                self.loss_pca.init(feats)
+
+        self.mining_cache.refresh(feats, mine_idx)
+
+    # ------------------------------------------------------------ eval
+    def _eval_loss_other(self, epoch: int, global_step: int) -> None:
+        """Held-out-region training loss (reference get_eval_loss,
+        train/train.py:1112-1149)."""
+        cfg = self.cfg
+        meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
+        sampler = self._sampler_for(meta)
+        n = len(meta["t"])
+        test_number = global_step // max(cfg.eval_step, 1)
+        per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
+        idx = np.arange(test_number * per_eval, (test_number + 1) * per_eval) % n
+        losses = []
+        for chunk in idx.reshape(-1, cfg.tuples_per_batch):
+            sample = sampler.sample(chunk, use_hard=False)
+            if sample is None:
+                continue
+            batch = assemble_batch(cfg, self.source, meta, sample.indices,
+                                   sample.payload, epoch, self._pool)
+            batch = shard_batch(self._augment_batch(batch), self.mesh)
+            out = self.eval_loss_step(self.state.params, batch)
+            losses.append({k: float(v) for k, v in out.items()})
+        if losses:
+            mean = {k: float(np.mean([d[k] for d in losses])) for k in losses[0]}
+            self.writers["other"].scalars(mean, global_step)
+            self.log(f"Other region loss: {mean}")
+        else:
+            self.log("Evaluated but got no valid losses.")
+
+    def _eval_localization(
+        self, epoch: int, global_step: int, ref_set: str, query_set: str, mode: str
+    ) -> Dict[str, float]:
+        """In-training localization eval (reference evaluate_localization,
+        train/train.py:1156-1193) with on-device brute-force top-k."""
+        cfg = self.cfg
+        ref_meta = self.source.cluster_meta(ref_set, cfg.eval_ref_r)
+        n_ref = len(ref_meta["t"])
+        ref_features = self.extract_features(ref_meta, np.arange(n_ref))
+        ref_xy = get_xy(ref_meta)
+
+        query_meta = self.source.epoch_meta(query_set, epoch)
+        test_number = global_step // max(cfg.eval_step, 1)
+        q_idx = np.arange(
+            test_number * cfg.num_eval_queries,
+            (test_number + 1) * cfg.num_eval_queries,
+        ) % len(query_meta["t"])
+        query_features = self.extract_features(query_meta, q_idx)
+        query_xy = get_xy(query_meta)[q_idx]
+
+        k = min(5, n_ref)
+        _, latent_idx = topk_l2(query_features, ref_features, k)
+        latent_idx = np.asarray(latent_idx)
+        opt_dists, _ = topk_l2(
+            query_xy.astype(np.float32), ref_xy.astype(np.float32), 1
+        )
+        opt_dists = np.asarray(opt_dists)[:, 0]
+
+        scalars, curves = localization_summary(query_xy, ref_xy, latent_idx, opt_dists)
+        self.writers[mode].scalars(scalars, global_step)
+        self.log(f"[{mode}] localization @{global_step}: {scalars}")
+        if self.save_plots:
+            for rad, bundle in curves.items():
+                save_curve_plot(
+                    bundle, rad, f"{mode} epoch {epoch}",
+                    os.path.join(self.out_dir, f"{mode}_{epoch:02d}_{global_step}_{rad}.pdf"),
+                )
+        return scalars
+
+    # ------------------------------------------------------------ training
+    def train(self) -> None:
+        for epoch in range(self.cfg.max_epoch):
+            self.log(f"**** EPOCH {epoch} ****")
+            self.used_images.clear()
+            self.train_one_epoch(epoch)
+            self.ckpts.save("epoch", epoch, self.state, self._pca_sd(), self._loss_pca_sd())
+        self.ckpts.wait()
+
+    def _pca_sd(self):
+        return self.pca.state_dict() if self.pca is not None and self.pca.initialized else None
+
+    def _loss_pca_sd(self):
+        return (
+            self.loss_pca.state_dict()
+            if self.loss_pca is not None and self.loss_pca.initialized
+            else None
+        )
+
+    def train_one_epoch(self, epoch: int) -> None:
+        cfg = self.cfg
+        meta = self.source.epoch_meta(cfg.local_ref_set, epoch)
+        sampler = self._sampler_for(meta)
+        anchor_indices = np.asarray(
+            self.source.anchor_indices(cfg.local_ref_set, cfg.train_ref_r, epoch),
+            dtype=int,
+        )
+
+        steps = np.arange(0, len(anchor_indices), cfg.tuples_per_batch)
+        mining_count = 0
+
+        # Segment the epoch at mining boundaries; within a segment, host batch
+        # assembly runs ahead of the device on a producer thread.
+        seg_start = 0
+        while seg_start < len(steps):
+            step0 = int(steps[seg_start])
+            if step0 % cfg.mining_step == 0:
+                with self.timer.span("mining_refresh"):
+                    self.log("Caching features for hard negative mining.")
+                    self._mining_refresh(epoch, step0, mining_count, meta, anchor_indices)
+                mining_count += 1
+            seg_end = seg_start + max(
+                1, (cfg.mining_step + cfg.tuples_per_batch - 1) // cfg.tuples_per_batch
+            )
+            seg_steps = steps[seg_start:seg_end]
+
+            def build(i: int, _steps=seg_steps):
+                s = int(_steps[i])
+                anchors = anchor_indices[s : s + cfg.tuples_per_batch]
+                if len(anchors) < cfg.tuples_per_batch:
+                    anchors = pad_to_multiple(anchors, cfg.tuples_per_batch)
+                sample = sampler.sample(
+                    anchors, use_hard=True, cache=self.mining_cache
+                )
+                if sample is None:
+                    return None
+                batch = assemble_batch(
+                    cfg, self.source, meta, sample.indices, sample.payload,
+                    epoch, self._pool,
+                )
+                return batch, sample.used_indices
+
+            consumed = 0
+            for item in Prefetcher(build, len(seg_steps)):
+                abs_step = int(seg_steps[consumed])
+                consumed += 1
+                if abs_step % cfg.eval_step == 0:
+                    self._run_eval(epoch)
+                if abs_step % cfg.save_step == 0:
+                    self.ckpts.save(
+                        "part", self.global_step, self.state,
+                        self._pca_sd(), self._loss_pca_sd(),
+                    )
+                if item is None:
+                    self.log("Faulty training batch... skipping.")
+                    continue
+                batch, used = item
+                with self.timer.span("train_step"):
+                    device_batch = shard_batch(self._augment_batch(batch), self.mesh)
+                    self.state, metrics = self.train_step(self.state, device_batch)
+                    loss = float(metrics["loss"])
+                self.used_images.update(used)
+                self.global_step = int(self.state.step)
+                if self.cfg.loss.pn_loss:
+                    self.log(
+                        f"Train batch loss pos: {float(metrics['loss_pos'])} "
+                        f"neg: {float(metrics['loss_neg'])}"
+                    )
+                else:
+                    self.log(f"Train batch loss: {loss}")
+                self.writers["local"].scalars(
+                    {
+                        "loss": loss,
+                        "learning_rate": float(metrics["learning_rate"]),
+                    },
+                    self.global_step,
+                )
+                with self.timer.span("pca_update"):
+                    if self.pca is not None and "pca_in" in metrics:
+                        self.pca.update(np.asarray(metrics["pca_in"]))
+                    if self.loss_pca is not None and "loss_pca_in" in metrics:
+                        self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
+            seg_start = seg_end
+
+    def _run_eval(self, epoch: int) -> None:
+        self.log("EVALUATING")
+        gs = self.global_step
+        self.ckpts.save("rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd())
+        with self.timer.span("eval_loss"):
+            self._eval_loss_other(epoch, gs)
+        with self.timer.span("eval_localization"):
+            self._eval_localization(
+                epoch, gs, self.cfg.other_ref_set, self.cfg.other_query_set, "other"
+            )
+            self._eval_localization(
+                epoch, gs, self.cfg.local_ref_set, self.cfg.local_query_set, "local"
+            )
+
+    # ------------------------------------------------------------ resume
+    def resume_latest(self, role: str = "rolling") -> bool:
+        step = self.ckpts.latest(role)
+        if step is None:
+            return False
+        self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
+            role, step, self.state, self._pca_sd(), self._loss_pca_sd()
+        )
+        if pca_sd is not None:
+            self.pca = StreamingPCA.from_state_dict(pca_sd)
+        if loss_pca_sd is not None:
+            self.loss_pca = StreamingPCA.from_state_dict(loss_pca_sd)
+        self.global_step = int(self.state.step)
+        self.log(f"Resumed from {role}@{step}")
+        return True
+
+    def close(self) -> None:
+        self.ckpts.wait()
+        self.ckpts.close()
+        self._pool.shutdown(wait=False)
+        self.log.close()

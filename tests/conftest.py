@@ -1,18 +1,23 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes its backends (SURVEY.md §4:
-multi-chip tests under xla_force_host_platform_device_count=8 so sharded
-paths run without real TPUs).
+The environment's sitecustomize registers the axon TPU backend and forces
+``jax_platforms='axon,cpu'`` via jax.config (overriding the JAX_PLATFORMS env
+var), so tests must re-override the config AFTER importing jax but before any
+backend initializes. Multi-chip sharded paths then run on 8 virtual CPU
+devices (SURVEY.md §4 test plan).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -21,3 +26,10 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def mesh8():
+    from soft_contrastive_learning_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(num_data=8)
