@@ -1,0 +1,129 @@
+"""Offline batch descriptor extraction.
+
+Capability parity with reference evaluation/inference.py: embed a CSV image
+list (column ``path`` relative to an image root) with a trained model and dump
+the feature matrix as ``{set}_{out_name}.pickle`` (reference
+evaluation/inference.py:166-192). The threaded feed_dict pipeline becomes a
+jitted embed step with host-side prefetch of decoded batches.
+
+For ``reduction in ('none', 'pca')`` the RAW descriptor is dumped and PCA
+happens downstream in top-N (reference evaluation/inference.py:94-95).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from soft_contrastive_learning_tpu.core.config import ModelConfig
+from soft_contrastive_learning_tpu.models.model import create_model
+from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
+from soft_contrastive_learning_tpu.utils.cv import resize_img, standard_size
+from soft_contrastive_learning_tpu.utils.io import load_csv, load_img, save_pickle
+
+
+def _prepare(img: np.ndarray, cfg: ModelConfig, portrait: bool) -> np.ndarray:
+    """Reference load_images geometry (evaluation/inference.py:52-74)."""
+    h, w = cfg.image_height, cfg.image_width
+    if portrait:
+        h, w = max(h, w), min(h, w)
+    if cfg.vlad_cores > 0 and not portrait:
+        if (img.shape[0], img.shape[1]) != (h, w):
+            img = resize_img(img, max(h, w))
+    if (img.shape[0], img.shape[1]) != (h, w):
+        img = standard_size(img, h=h, w=w)
+    return img
+
+
+class DescriptorExtractor:
+    """Jitted batched embedding with decode prefetch; reusable across sets."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        batch_size: int = 32,
+        mesh=None,
+        portrait: bool = False,
+        raw_descriptor: bool = True,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.portrait = portrait
+        self.raw = raw_descriptor
+        self._model = create_model(cfg)
+        self._pool = ThreadPoolExecutor(max_workers=8)
+
+        @jax.jit
+        def embed(p, images):
+            output, full = self._model.apply({"params": p}, images, train=False)
+            return output, full
+
+        self._embed = embed
+
+    def extract_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        prepared = [
+            _prepare(np.asarray(im), self.cfg, self.portrait) for im in images
+        ]
+        arr = np.stack(prepared).astype(np.float32)
+        n = len(arr)
+        arr = pad_to_multiple(arr, self.batch_size)
+        feats = []
+        for start in range(0, len(arr), self.batch_size):
+            x = shard_batch(arr[start : start + self.batch_size], self.mesh)
+            output, full = self._embed(self.params, x)
+            feats.append(np.asarray(full if self.raw else output))
+        return np.concatenate(feats)[:n]
+
+    def extract_files(self, paths: Sequence[str], img_root: str = "") -> np.ndarray:
+        def load(p):
+            return load_img(os.path.join(img_root, p))
+
+        n = len(paths)
+        out: List[np.ndarray] = []
+        # decode next chunk on the pool while the device embeds the current one
+        chunk = self.batch_size * 4
+        futures = None
+        for start in range(0, n, chunk):
+            batch_paths = paths[start : start + chunk]
+            images = list(futures) if futures is not None else list(
+                self._pool.map(load, batch_paths)
+            )
+            nxt = paths[start + chunk : start + 2 * chunk]
+            futures = self._pool.map(load, nxt) if nxt else None
+            out.append(self.extract_images(images))
+        return np.concatenate(out) if out else np.zeros((0,))
+
+
+def run_inference(
+    cfg: ModelConfig,
+    params,
+    set_name: str,
+    csv_root: str,
+    img_root: str,
+    out_root: str,
+    out_name: str,
+    batch_size: int = 32,
+    mesh=None,
+) -> str:
+    """CSV image list -> feature pickle ``{set}_{out_name}.pickle``."""
+    meta = load_csv(os.path.join(csv_root, f"{set_name}.csv"))
+    paths = list(meta["path"])
+    if "oxs" in set_name:  # reference quirk: jpg variants for 'oxs' sets
+        paths = [p.replace(".png", ".jpg") for p in paths]
+    extractor = DescriptorExtractor(
+        cfg, params, batch_size=batch_size, mesh=mesh,
+        portrait="achen" in set_name,
+        raw_descriptor=cfg.reduction in ("none", "pca"),
+    )
+    features = extractor.extract_files(paths, img_root)
+    os.makedirs(out_root, exist_ok=True)
+    out_path = os.path.join(out_root, f"{set_name}_{out_name}.pickle")
+    save_pickle(features, out_path)
+    return out_path
