@@ -102,6 +102,18 @@ def load_csv(
         return cols  # header-only file: return the keys (reference behavior)
 
 
+def load_table(
+    path: str, delimiter: str = ",", has_header: bool = True
+) -> Dict[Any, List[str]]:
+    """Like load_csv but ALWAYS returns a dict: a header-only file yields the
+    columns with empty lists (load_csv preserves the reference's quirk of
+    returning the raw key list there, util/io.py:100-102)."""
+    out = load_csv(path, delimiter=delimiter, has_header=has_header)
+    if isinstance(out, dict):
+        return out
+    return {k: [] for k in out}
+
+
 def save_csv(data: Dict[Any, Any], path: str, delimiter: str = ",") -> None:
     """Write a dict of column -> list (or scalar) as CSV (reference util/io.py:85-104)."""
     cols = list(data.keys())
