@@ -1,0 +1,350 @@
+"""Command-line interface.
+
+Mirrors the reference's script entry points as subcommands of one CLI:
+
+  scl-tpu train  — reference train/train.py:1222-1314 (same flag names)
+  scl-tpu infer  — reference evaluation/inference.py
+  scl-tpu topn   — reference evaluation/top-n.py
+  scl-tpu roc    — reference evaluation/roc.py
+  scl-tpu prep   — reference prepare_data/004-014 via the stage framework
+  scl-tpu bench  — the throughput benchmark
+
+``--task_id -1`` on train/infer renders + submits an array job of the frozen
+script (the reference's self-submission convention, train/train.py:1465-1466).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    # Data roots (filesystem contract, reference train/train.py:1226-1233)
+    p.add_argument("--img_root", default="")
+    p.add_argument("--shuffled_root", default="")
+    p.add_argument("--loc_ref_root", default="")
+    p.add_argument("--anchor_root", default="")
+    p.add_argument("--checkpoint", default="", help="warm-start donor (.npz TF1 export or orbax dir)")
+    p.add_argument("--out_root", default="runs")
+    p.add_argument("--out_folder", default="")
+    p.add_argument("--max_to_keep", type=int, default=1)
+    p.add_argument("--toy_city", action="store_true", help="train on the synthetic toy city")
+
+    # Tuples (reference :1241-1249)
+    p.add_argument("--positives_per_tuple", type=int, default=12)
+    p.add_argument("--negatives_per_tuple", type=int, default=12)
+    p.add_argument("--hard_positives_per_tuple", type=int, default=6)
+    p.add_argument("--hard_negatives_per_tuple", type=int, default=6)
+    p.add_argument("--mutually_exclusive_negs", type=lambda s: s != "False", default=True)
+
+    # Loss (reference :1252-1266)
+    p.add_argument("--loss", default="wrd")
+    p.add_argument("--margin_1", type=float, default=0.1)
+    p.add_argument("--margin_2", type=float, default=0.2)
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--alpha", type=float, default=0.8)
+    p.add_argument("--beta", type=float, default=15.0)
+    p.add_argument("--wfunction", default="exp", choices=["exp", "lin", "tanh"])
+    p.add_argument("--sumfunction", default="ms", choices=["ms", "plain"])
+    p.add_argument("--msmining", type=lambda s: s == "True", default=False)
+    p.add_argument("--max_pos_radius", type=float, default=15.0)
+    p.add_argument("--min_neg_radius", type=float, default=15.0)
+
+    # Optimization (reference :1269-1280)
+    p.add_argument("--tuples_per_batch", type=int, default=2)
+    p.add_argument("--max_epoch", type=int, default=5)
+    p.add_argument("--base_lr", type=float, default=5e-6)
+    p.add_argument("--minimal_lr", type=float, default=5e-12)
+    p.add_argument("--lr_down_factor", type=float, default=0.5)
+    p.add_argument("--lr_down_frequency", type=float, default=1.0)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
+
+    # Reduction (reference :1283-1288)
+    p.add_argument("--out_dim", type=int, default=512)
+    p.add_argument("--loss_dim", type=int, default=512)
+    p.add_argument("--reduction", default="none",
+                   choices=["none", "1fc", "2fc", "3fc", "pca", "spp"])
+    p.add_argument("--vlad_cores", type=int, default=64)
+    p.add_argument("--L", type=int, default=3)
+    p.add_argument("--f", type=float, default=0.4)
+
+    # Mining / eval cadence (reference :1291-1301)
+    p.add_argument("--mining_step", type=int, default=250)
+    p.add_argument("--mining_cache_size", type=int, default=1000)
+    p.add_argument("--eval_step", type=int, default=100)
+    p.add_argument("--save_step", type=int, default=500)
+    p.add_argument("--num_eval_queries", type=int, default=50)
+    p.add_argument("--eval_ref_r", type=int, default=5)
+    p.add_argument("--train_ref_r", type=int, default=1)
+
+    # Sets (reference :1304-1308)
+    p.add_argument("--local_ref_set", default="train_ref")
+    p.add_argument("--local_query_set", default="train_query")
+    p.add_argument("--other_ref_set", default="test_ref")
+    p.add_argument("--other_query_set", default="test_query")
+
+    # TPU-native additions
+    p.add_argument("--image_height", type=int, default=180)
+    p.add_argument("--image_width", type=int, default=240)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--use_pallas", type=lambda s: s != "False", default=True)
+    p.add_argument("--num_data_shards", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--save_plots", action="store_true")
+    p.add_argument("--task_id", type=int, default=0)
+    p.add_argument("--queue", default="48h")
+
+
+def config_from_args(args) -> "TrainConfig":
+    from soft_contrastive_learning_tpu.core.config import (
+        LossConfig, ModelConfig, TrainConfig, TupleConfig,
+    )
+
+    model = ModelConfig(
+        vlad_cores=args.vlad_cores, reduction=args.reduction,
+        out_dim=args.out_dim, spp_levels=args.L,
+        image_height=args.image_height, image_width=args.image_width,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+    )
+    tuples = TupleConfig(
+        positives_per_tuple=args.positives_per_tuple,
+        negatives_per_tuple=args.negatives_per_tuple,
+        hard_positives_per_tuple=args.hard_positives_per_tuple,
+        hard_negatives_per_tuple=args.hard_negatives_per_tuple,
+        mutually_exclusive_negs=args.mutually_exclusive_negs,
+        max_pos_radius=args.max_pos_radius,
+        min_neg_radius=args.min_neg_radius,
+    )
+    loss = LossConfig(
+        name=args.loss, margin_1=args.margin_1, margin_2=args.margin_2,
+        lam=args.lam, alpha=args.alpha, beta=args.beta,
+        wfunction=args.wfunction, sumfunction=args.sumfunction,
+        ms_mining=args.msmining, loss_dim=args.loss_dim,
+        d_max_squared=args.max_pos_radius**2,
+    )
+    return TrainConfig(
+        model=model, tuples=tuples, loss=loss,
+        img_root=args.img_root, shuffled_root=args.shuffled_root,
+        loc_ref_root=args.loc_ref_root, anchor_root=args.anchor_root,
+        checkpoint=args.checkpoint,
+        tuples_per_batch=args.tuples_per_batch, max_epoch=args.max_epoch,
+        base_lr=args.base_lr, minimal_lr=args.minimal_lr,
+        lr_down_factor=args.lr_down_factor, lr_down_frequency=args.lr_down_frequency,
+        momentum=args.momentum, optimizer=args.optimizer,
+        forgetting_factor=args.f,
+        mining_step=args.mining_step, mining_cache_size=args.mining_cache_size,
+        eval_step=args.eval_step, save_step=args.save_step,
+        num_eval_queries=args.num_eval_queries, eval_ref_r=args.eval_ref_r,
+        train_ref_r=args.train_ref_r, max_to_keep=args.max_to_keep,
+        local_ref_set=args.local_ref_set, local_query_set=args.local_query_set,
+        other_ref_set=args.other_ref_set, other_query_set=args.other_query_set,
+        seed=args.seed, num_data_shards=args.num_data_shards,
+    )
+
+
+def cmd_train(args) -> int:
+    from soft_contrastive_learning_tpu.core.config import unique_out_dir
+    from soft_contrastive_learning_tpu.data.pipeline import (
+        FilesystemSource, ToyCitySource,
+    )
+    from soft_contrastive_learning_tpu.launch.jobs import run_one_job
+    from soft_contrastive_learning_tpu.train.trainer import Trainer
+
+    cfg = config_from_args(args)
+    out_folder = args.out_folder or cfg.encode_name()
+    out_dir = os.path.join(args.out_root, out_folder)
+
+    if args.task_id == -1:
+        # Self-submission convention (reference train/train.py:1216-1219,1465-1466)
+        params = [(k, v) for k, v in vars(args).items()
+                  if k not in ("task_id", "func") and v not in ("", None, False)]
+        run_one_job(os.path.abspath(__file__), params + [("task_id", 1)],
+                    queue=args.queue, out_dir=out_dir, memory=50,
+                    name=f"train_{args.loss}", overwrite=True, array=True,
+                    num_jobs=1)
+        return 0
+
+    if not args.out_folder:
+        out_dir = unique_out_dir(args.out_root, out_folder)
+
+    if args.toy_city:
+        source = ToyCitySource(num_points=120, radius=150.0)
+    else:
+        source = FilesystemSource(
+            cfg.img_root, cfg.shuffled_root, cfg.anchor_root, cfg.loc_ref_root
+        )
+
+    warm_donor = None
+    if cfg.checkpoint and cfg.checkpoint.endswith(".npz"):
+        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
+
+        warm_donor, _ = convert_checkpoint(cfg.checkpoint)
+
+    mesh = None
+    if args.num_data_shards > 1:
+        from soft_contrastive_learning_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_data=args.num_data_shards)
+
+    trainer = Trainer(cfg, source, out_dir=out_dir, mesh=mesh,
+                      save_plots=args.save_plots, warm_start_donor=warm_donor)
+    if args.resume:
+        trainer.resume_latest()
+    trainer.train()
+    trainer.close()
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.evaluation.inference import run_inference
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
+                      out_dim=args.out_dim)
+    params = init_params(cfg, jax.random.key(0))
+    if args.checkpoint.endswith(".npz"):
+        from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
+        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
+
+        donor, _ = convert_checkpoint(args.checkpoint)
+        params, _ = warm_start_params(params, donor)
+    out = run_inference(cfg, params, args.set, args.csv_root, args.img_root,
+                        args.out_root, args.out_name,
+                        batch_size=args.images_per_pass)
+    print(out)
+    return 0
+
+
+def cmd_topn(args) -> int:
+    from soft_contrastive_learning_tpu.evaluation.topn import get_top_n
+    from soft_contrastive_learning_tpu.utils.io import load_csv, load_pickle
+    from soft_contrastive_learning_tpu.utils.meta import get_xy
+
+    name = "".join(os.path.basename(args.query_lv_pickle).split(".")[:-1])
+    kwargs = {}
+    if args.dims:
+        kwargs["dims"] = tuple(int(d) for d in args.dims.split(","))
+    if args.spacings:
+        kwargs["spacings"] = tuple(float(s) for s in args.spacings.split(","))
+    paths = get_top_n(
+        np.asarray(load_pickle(args.pca_lv_pickle)),
+        np.asarray(load_pickle(args.ref_lv_pickle)),
+        np.asarray(load_pickle(args.query_lv_pickle)),
+        get_xy(load_csv(args.ref_csv)),
+        get_xy(load_csv(args.query_csv)),
+        args.out_root, name, n=args.N, **kwargs,
+    )
+    print("\n".join(sorted(paths.values())))
+    return 0
+
+
+def cmd_roc(args) -> int:
+    from soft_contrastive_learning_tpu.evaluation.roc import compile_roc
+
+    out = compile_roc(args.top_n_root, args.out_root,
+                      setting=f"l{args.l}_dim{args.d}")
+    print(out or "no top-n pickles found")
+    return 0 if out else 1
+
+
+def cmd_prep(args) -> int:
+    from soft_contrastive_learning_tpu.data.robotcar import prep
+    from soft_contrastive_learning_tpu.data.robotcar.downsize import downsize_images
+    from soft_contrastive_learning_tpu.data.robotcar.stages import PrepContext, run_all
+
+    ctx = PrepContext(
+        root=args.root, raw_img_root=args.raw_img_root, ins_root=args.ins_root,
+        tar_root=args.tar_root, img_root=args.img_root,
+        camera_models=args.camera_models, max_epochs=args.max_epochs,
+        grid_masks={
+            name: os.path.join(args.mask_root, f"{name}.png")
+            for name in ("full", "train", "test", "val")
+        } if args.mask_root else {},
+    )
+    dates = sorted(os.listdir(ctx.ins_root)) if ctx.ins_root else []
+    for date in dates:
+        downsize_images(ctx, date)
+        prep.interpolate_image_xy(ctx, date)
+        if ctx.grid_masks:
+            prep.assign_splits(ctx, date)
+    run_all(prep.metadata_stages(ctx), ctx)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="scl-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train an embedding model")
+    _add_train_flags(p)
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("infer", help="batch descriptor extraction")
+    p.add_argument("--set", required=True)
+    p.add_argument("--csv_root", required=True)
+    p.add_argument("--img_root", required=True)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--out_name", default="model")
+    p.add_argument("--out_root", default="lv")
+    p.add_argument("--out_dim", type=int, default=512)
+    p.add_argument("--reduction", default="none")
+    p.add_argument("--vlad_cores", type=int, default=64)
+    p.add_argument("--images_per_pass", type=int, default=32)
+    p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser("topn", help="top-N retrieval sweep")
+    p.add_argument("--pca_lv_pickle", required=True)
+    p.add_argument("--ref_lv_pickle", required=True)
+    p.add_argument("--query_lv_pickle", required=True)
+    p.add_argument("--ref_csv", required=True)
+    p.add_argument("--query_csv", required=True)
+    p.add_argument("--out_root", default="top_n")
+    p.add_argument("--N", type=int, default=25)
+    p.add_argument("--dims", default="", help="comma list, e.g. 64,256 (default: full reference sweep)")
+    p.add_argument("--spacings", default="", help="comma list, e.g. 0.0,1.0")
+    p.set_defaults(func=cmd_topn)
+
+    p = sub.add_parser("roc", help="compile ROC figures")
+    p.add_argument("--top_n_root", required=True)
+    p.add_argument("--out_root", default="figs")
+    p.add_argument("--l", default="0.0")
+    p.add_argument("--d", type=int, default=256)
+    p.set_defaults(func=cmd_roc)
+
+    p = sub.add_parser("prep", help="run the RobotCar ETL pipeline")
+    p.add_argument("--root", required=True)
+    p.add_argument("--raw_img_root", default="")
+    p.add_argument("--ins_root", default="")
+    p.add_argument("--tar_root", default="")
+    p.add_argument("--img_root", default="")
+    p.add_argument("--camera_models", default="")
+    p.add_argument("--mask_root", default="")
+    p.add_argument("--max_epochs", type=int, default=5)
+    p.set_defaults(func=cmd_prep)
+
+    p = sub.add_parser("bench", help="embedding-throughput benchmark")
+    p.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

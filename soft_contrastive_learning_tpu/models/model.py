@@ -34,13 +34,17 @@ class EmbeddingNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jnp.ndarray, train: bool = False
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        self, images: jnp.ndarray, train: bool = False, return_grad_in: bool = False
+    ):
+        """Returns (output, full_out), or (output, full_out, grad_in) when
+        ``return_grad_in`` — grad_in is the pre-normalization conv5_3
+        activation for gradient/saliency analysis, the extra output of the
+        reference's grad_nets variants (reference model/grad_nets.py:63-69)."""
         cfg = self.config
         compute_dtype = jnp.dtype(cfg.compute_dtype)
         param_dtype = jnp.dtype(cfg.param_dtype)
 
-        feature_map, _ = VGG16(
+        feature_map, grad_in = VGG16(
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
             remat=cfg.remat,
@@ -72,6 +76,8 @@ class EmbeddingNet(nn.Module):
             )(full_out, train=train)
         else:  # 'none' and 'pca' (pca projection applied outside the module)
             output = full_out
+        if return_grad_in:
+            return output, full_out, grad_in
         return output, full_out
 
 

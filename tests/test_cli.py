@@ -1,0 +1,100 @@
+"""CLI surface tests: flag parity, config building, and the non-train
+subcommands driven on tiny real files (the train path is covered by the
+toy-city e2e run documented in the verify skill)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from soft_contrastive_learning_tpu.cli import main
+from soft_contrastive_learning_tpu.utils.io import load_pickle, save_csv, save_pickle
+
+
+def test_train_flag_parity_builds_config(tmp_path):
+    """The reference's train flags (train/train.py:1222-1314) parse and land
+    in the typed config."""
+    import argparse
+
+    from soft_contrastive_learning_tpu.cli import _add_train_flags, config_from_args
+
+    p = argparse.ArgumentParser()
+    _add_train_flags(p)
+    args = p.parse_args([
+        "--loss", "swrd", "--alpha", "1.2", "--beta", "20", "--reduction", "spp",
+        "--vlad_cores", "0", "--L", "2", "--positives_per_tuple", "10",
+        "--max_pos_radius", "10", "--optimizer", "momentum", "--msmining", "True",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.loss.name == "swrd"
+    assert cfg.loss.alpha == 1.2
+    assert cfg.loss.d_max_squared == 100.0  # follows max_pos_radius
+    assert cfg.model.reduction == "spp" and cfg.model.spp_levels == 2
+    assert cfg.tuples.positives_per_tuple == 10
+    assert cfg.optimizer == "momentum"
+    assert cfg.loss.ms_mining is True
+
+
+def test_cli_topn_and_roc(tmp_path, rng):
+    # feature pickles + csvs
+    r, q, d = 40, 6, 16
+    ref_f = rng.standard_normal((r, d)).astype(np.float32)
+    query_f = rng.standard_normal((q, d)).astype(np.float32)
+    pca_f = rng.standard_normal((100, d)).astype(np.float32)
+    save_pickle(pca_f, str(tmp_path / "oxford_pca_m.pickle"))
+    save_pickle(ref_f, str(tmp_path / "oxford_ref_m.pickle"))
+    save_pickle(query_f, str(tmp_path / "oxford_night_m.pickle"))
+    save_csv(
+        {"easting": np.arange(r) * 3.0, "northing": np.zeros(r)},
+        str(tmp_path / "ref.csv"),
+    )
+    save_csv(
+        {"easting": rng.random(q) * 100, "northing": np.zeros(q)},
+        str(tmp_path / "query.csv"),
+    )
+    rc = main([
+        "topn",
+        "--pca_lv_pickle", str(tmp_path / "oxford_pca_m.pickle"),
+        "--ref_lv_pickle", str(tmp_path / "oxford_ref_m.pickle"),
+        "--query_lv_pickle", str(tmp_path / "oxford_night_m.pickle"),
+        "--ref_csv", str(tmp_path / "ref.csv"),
+        "--query_csv", str(tmp_path / "query.csv"),
+        "--out_root", str(tmp_path / "top_n"), "--N", "5",
+        "--dims", "8", "--spacings", "0.0",
+    ])
+    assert rc == 0
+    out = tmp_path / "top_n" / "l0.0_dim8" / "oxford_night_m.pickle"
+    assert out.exists()
+    assert len(load_pickle(str(out))) == 6
+
+    # roc over the produced pickles: rename to a known series code
+    os.rename(out, out.parent / "oxford_night_wms.pickle")
+    rc = main([
+        "roc", "--top_n_root", str(tmp_path / "top_n"),
+        "--out_root", str(tmp_path / "figs"), "--l", "0.0", "--d", "8",
+    ])
+    assert rc == 0
+    assert (tmp_path / "figs" / "l00_dim8_roc.pdf").exists()
+
+
+def test_cli_roc_missing_inputs(tmp_path):
+    rc = main([
+        "roc", "--top_n_root", str(tmp_path / "none"),
+        "--out_root", str(tmp_path / "figs"),
+    ])
+    assert rc == 1
+
+
+def test_model_grad_in(rng):
+    import jax
+
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.models.model import create_model, init_params
+
+    cfg = ModelConfig(vlad_cores=4, reduction="none", image_height=32,
+                      image_width=32, compute_dtype="float32", use_pallas=False)
+    model = create_model(cfg)
+    params = init_params(cfg, jax.random.key(0))
+    x = np.ones((1, 32, 32, 3), np.float32)
+    out, full, grad_in = model.apply({"params": params}, x, return_grad_in=True)
+    assert grad_in.shape == (1, 2, 2, 512)
