@@ -224,6 +224,25 @@ def build_loss(cfg: LossConfig, tuples: TupleConfig, tuples_per_batch: int) -> L
     if name == "wms":
         # ms_mining is always on for wms in the reference dispatch
         # (model/losses.py:5 default; train/train.py:852 passes no override).
+        # On TPU the exp/ms configuration routes through the fused Pallas
+        # kernel (ops/pallas/wms_kernel.py); other configurations and other
+        # backends use the XLA formulation.
+        import jax as _jax
+
+        if (
+            cfg.wfunction == "exp"
+            and cfg.sumfunction == "ms"
+            and _jax.default_backend() == "tpu"
+        ):
+            from soft_contrastive_learning_tpu.ops.pallas.wms_kernel import (
+                wms_loss_fused,
+            )
+
+            return lambda b, p, st: LossResult(
+                wms_loss_fused(
+                    p["geo_dist_matrix"], b.embeddings, cfg.alpha, cfg.beta
+                )
+            )
         return lambda b, p, st: LossResult(
             ms_losses.wms_loss(
                 p["geo_dist_matrix"], b.embeddings,
