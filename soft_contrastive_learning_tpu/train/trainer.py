@@ -265,7 +265,48 @@ class Trainer:
                     bundle, rad, f"{mode} epoch {epoch}",
                     os.path.join(self.out_dir, f"{mode}_{epoch:02d}_{global_step}_{rad}.pdf"),
                 )
+            opt_idx = np.asarray(
+                topk_l2(query_xy.astype(np.float32), ref_xy.astype(np.float32), 1)[1]
+            )
+            self._save_triptychs(
+                mode, epoch, global_step, query_meta, q_idx, ref_meta,
+                latent_idx, opt_idx, query_xy, ref_xy,
+            )
         return scalars
+
+    def _save_triptychs(
+        self, mode, epoch, global_step, query_meta, q_idx, ref_meta,
+        latent_idx, opt_idx, query_xy, ref_xy, num_examples: int = 10,
+    ) -> None:
+        """Query / retrieved / optimal image triptychs
+        (reference evaluate_localization_thread, train/train.py:399-420)."""
+        from soft_contrastive_learning_tpu.utils.cv import merge_images, put_text
+        from soft_contrastive_learning_tpu.utils.io import save_img
+
+        out_dir = os.path.join(
+            self.out_dir, f"{mode}_{epoch:02d}_{global_step}_examples"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        picks = self.rng.choice(
+            len(q_idx), size=min(num_examples, len(q_idx)), replace=False
+        )
+        for i in picks:
+            qi = int(q_idx[i])
+            q_key = (query_meta["date"][qi], query_meta["folder"][qi], query_meta["t"][qi])
+            ri = int(latent_idx[i, 0])
+            r_key = (ref_meta["date"][ri], ref_meta["folder"][ri], ref_meta["t"][ri])
+            oi = int(opt_idx[i, 0])
+            o_key = (ref_meta["date"][oi], ref_meta["folder"][oi], ref_meta["t"][oi])
+            try:
+                q_img = put_text("Query", self.source.load_image(q_key).copy())
+                d_r = float(np.linalg.norm(query_xy[i] - ref_xy[ri]))
+                r_img = put_text(f"Retrieved {d_r:.1f}", self.source.load_image(r_key).copy())
+                d_o = float(np.linalg.norm(query_xy[i] - ref_xy[oi]))
+                o_img = put_text(f"Optimal {d_o:.1f}", self.source.load_image(o_key).copy())
+                merged = merge_images(merge_images(q_img, r_img), o_img)
+                save_img(merged, os.path.join(out_dir, f"{q_key[2]}.png"))
+            except Exception as e:  # missing image file: skip the example
+                self.log(f"triptych skipped: {e}")
 
     # ------------------------------------------------------------ training
     def train(self) -> None:
@@ -386,13 +427,40 @@ class Trainer:
             )
 
     # ------------------------------------------------------------ resume
+    def _pca_template(self, pca: Optional[StreamingPCA], dim: int):
+        """Restore template for a StreamingPCA state: the live state when
+        initialized, otherwise zero arrays of the right shapes."""
+        if pca is None:
+            return None
+        if pca.initialized:
+            return pca.state_dict()
+        k = pca.out_dim
+        return {
+            "s": np.zeros(k, np.float32),
+            "v": np.zeros((k, dim), np.float32),
+            "m": np.zeros(dim, np.float32),
+            "seen": 0.0,
+            "true_seen": 0.0,
+            "var": np.zeros(k, np.float32),
+            "out_dim": k,
+            "forgetting": pca.forgetting,
+        }
+
     def resume_latest(self, role: str = "rolling") -> bool:
         step = self.ckpts.latest(role)
         if step is None:
             return False
-        self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
-            role, step, self.state, self._pca_sd(), self._loss_pca_sd()
-        )
+        pca_t = self._pca_template(self.pca, self.cfg.model.descriptor_dim)
+        loss_pca_t = self._pca_template(self.loss_pca, self.cfg.model.output_dim)
+        try:
+            self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
+                role, step, self.state, pca_t, loss_pca_t
+            )
+        except ValueError:
+            # checkpoint saved before the streaming PCA initialized
+            self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
+                role, step, self.state, None, None
+            )
         if pca_sd is not None:
             self.pca = StreamingPCA.from_state_dict(pca_sd)
         if loss_pca_sd is not None:

@@ -1,0 +1,98 @@
+"""Trainer extras: pca reduction path, triptych artifacts, fc-head training."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from soft_contrastive_learning_tpu.core.config import (
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+    TupleConfig,
+)
+from soft_contrastive_learning_tpu.data.pipeline import ToyCitySource
+from soft_contrastive_learning_tpu.train.trainer import Trainer
+
+
+def _cfg(loss="triplet", reduction="none", **kw):
+    defaults = dict(
+        model=ModelConfig(
+            vlad_cores=8, reduction=reduction, out_dim=16, image_height=64,
+            image_width=80, compute_dtype="float32", use_pallas=False,
+        ),
+        tuples=TupleConfig(
+            positives_per_tuple=3, negatives_per_tuple=3,
+            hard_positives_per_tuple=1, hard_negatives_per_tuple=1,
+        ),
+        loss=LossConfig(name=loss, loss_dim=8),
+        tuples_per_batch=1, max_epoch=1, base_lr=1e-4,
+        mining_step=6, mining_cache_size=10,
+        eval_step=10**9, save_step=10**9, num_eval_queries=4, eval_ref_r=4,
+        seed=0,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _source():
+    return ToyCitySource(num_points=24, radius=30.0, img_h=64, img_w=80, seed=3)
+
+
+@pytest.mark.slow
+def test_pca_reduction_training(tmp_path):
+    """reduction='pca': streaming PCA initializes at the first mining refresh,
+    the train step projects through it, and it updates every step."""
+    cfg = _cfg("triplet", reduction="pca")
+    tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"))
+    tr.train()
+    assert tr.pca is not None and tr.pca.initialized
+    assert tr.pca.v.shape == (16, 8 * 512)
+    assert tr.pca.true_seen > 10  # per-step updates accumulated
+    losses = [r["value"] for r in tr.writers["local"].read_all() if r["tag"] == "loss"]
+    assert losses and all(np.isfinite(losses))
+    # eval-time features go through whitening: output dim == out_dim
+    meta = tr.source.epoch_meta("train_ref", 0)
+    feats = tr.extract_features(meta, [0, 1, 2])
+    assert feats.shape == (3, 16)
+    # checkpoint carries the PCA state
+    tr.ckpts.save("part", tr.global_step, tr.state, tr._pca_sd())
+    tr.ckpts.wait()
+    tr2 = Trainer(_cfg("triplet", reduction="pca"), _source(), out_dir=str(tmp_path / "run"))
+    assert tr2.resume_latest("part")
+    assert tr2.pca.initialized
+    np.testing.assert_allclose(tr2.pca.m, tr.pca.m, atol=1e-6)
+    tr.close()
+    tr2.close()
+
+
+@pytest.mark.slow
+def test_fc_head_training(tmp_path):
+    cfg = _cfg("lazy_triplet", reduction="2fc")
+    tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"))
+    tr.train()
+    losses = [r["value"] for r in tr.writers["local"].read_all() if r["tag"] == "loss"]
+    assert losses and all(np.isfinite(losses))
+    meta = tr.source.epoch_meta("train_ref", 0)
+    feats = tr.extract_features(meta, [0, 1])
+    assert feats.shape == (2, 16)
+    tr.close()
+
+
+@pytest.mark.slow
+def test_eval_artifacts_with_plots(tmp_path):
+    cfg = _cfg("triplet", eval_step=6, save_step=10**9, num_eval_queries=3)
+    tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"), save_plots=True)
+    tr.train_one_epoch(0)
+    pdfs = glob.glob(str(tmp_path / "run" / "*_25.pdf"))
+    assert pdfs, "no tolerance-curve PDFs saved"
+    example_dirs = glob.glob(str(tmp_path / "run" / "*_examples"))
+    assert example_dirs, "no triptych directories saved"
+    imgs = glob.glob(os.path.join(example_dirs[0], "*.png"))
+    assert imgs, "no triptych images saved"
+    from soft_contrastive_learning_tpu.utils.io import load_img
+
+    trip = load_img(imgs[0])
+    assert trip.shape[1] >= 3 * 60  # three panels side by side
+    tr.close()
