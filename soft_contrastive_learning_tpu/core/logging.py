@@ -89,13 +89,23 @@ class StepTimer:
     class _Span:
         def __init__(self, timer: "StepTimer", name: str):
             self.timer, self.name = timer, name
+            self._trace = None
 
         def __enter__(self):
+            try:  # visible in jax.profiler traces when one is active
+                import jax.profiler
+
+                self._trace = jax.profiler.TraceAnnotation(self.name)
+                self._trace.__enter__()
+            except Exception:
+                self._trace = None
             self.t0 = time.perf_counter()
             return self
 
         def __exit__(self, *exc):
             dt = time.perf_counter() - self.t0
+            if self._trace is not None:
+                self._trace.__exit__(*exc)
             with self.timer._lock:
                 self.timer._acc[self.name] = self.timer._acc.get(self.name, 0.0) + dt
                 self.timer._count[self.name] = self.timer._count.get(self.name, 0) + 1

@@ -77,6 +77,7 @@ class Trainer:
         mesh=None,
         save_plots: bool = False,
         warm_start_donor=None,
+        profile_steps: int = 0,
     ):
         self.cfg = cfg
         self.source = source
@@ -116,6 +117,10 @@ class Trainer:
         self._pool = ThreadPoolExecutor(max_workers=8)
         self.global_step = 0
         self.used_images: set = set()
+        # jax.profiler trace of the first N steps (SURVEY.md §5 tracing:
+        # replaces the reference's ad-hoc stage prints with a real profile).
+        self._profile_steps = profile_steps
+        self._profiling = False
 
     # ------------------------------------------------------------ helpers
     def _sampler_for(self, meta) -> TupleSampler:
@@ -385,6 +390,11 @@ class Trainer:
                     self.log("Faulty training batch... skipping.")
                     continue
                 batch, used = item
+                if self._profile_steps > 0 and not self._profiling:
+                    import jax.profiler
+
+                    jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
+                    self._profiling = True
                 with self.timer.span("train_step"):
                     device_batch = shard_batch(self._augment_batch(batch), self.mesh)
                     self.state, metrics = self.train_step(self.state, device_batch)
@@ -410,6 +420,12 @@ class Trainer:
                         self.pca.update(np.asarray(metrics["pca_in"]))
                     if self.loss_pca is not None and "loss_pca_in" in metrics:
                         self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
+                if self._profiling and self.global_step >= self._profile_steps:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self._profile_steps = 0
             seg_start = seg_end
 
     def _run_eval(self, epoch: int) -> None:
