@@ -60,8 +60,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     config = None
-    batch_sizes = (128, 256) if on_tpu else (8,)
-    iters = 50 if on_tpu else 2
+    batch_sizes = (256,) if on_tpu else (8,)
+    iters = 40 if on_tpu else 2
     for bs in batch_sizes:
         try:
             rate = measure(bs, iters, use_pallas=on_tpu)

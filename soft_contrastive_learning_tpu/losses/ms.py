@@ -119,6 +119,14 @@ def wms_loss(
     )
 
 
+def ms_det_loss(labels, embeddings, alpha=2.0, beta=50.0, lamb=1.0, eps=0.1,
+                ms_mining=False):
+    """Alias of ms_loss with mining off by default — the reference keeps it as
+    a separate function (model/losses.py:139-185) though it is never
+    dispatched (train/train.py has no 'ms_det' branch)."""
+    return ms_loss(labels, embeddings, alpha, beta, lamb, eps, ms_mining)
+
+
 def ms_sum_loss(
     anchor,
     positives,
