@@ -58,6 +58,11 @@ class ModelConfig:
     param_dtype: str = "float32"
     use_pallas: bool = True  # fused Pallas NetVLAD aggregation on TPU
     remat: bool = False  # jax.checkpoint the conv stack to trade FLOPs for HBM
+    # Exact packed-width block1 rewrite (ops/packed_stem.py). The packed conv
+    # alone is ~1.5x faster on the MXU, but measured END TO END on v5e the
+    # pack/repack data movement loses more than the matmul wins (5.9k -> 3.8k
+    # img/s), so it stays opt-in until the repacking fuses into a kernel.
+    packed_stem: bool = False
 
     @property
     def descriptor_dim(self) -> int:

@@ -48,6 +48,7 @@ class EmbeddingNet(nn.Module):
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
             remat=cfg.remat,
+            packed_stem=cfg.packed_stem,
             name="vgg16",
         )(images)
 

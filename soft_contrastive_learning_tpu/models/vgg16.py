@@ -40,6 +40,48 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, epsilon: float = 1e-12) -> jnp.
     return x * jax.lax.rsqrt(jnp.maximum(sq, epsilon))
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only conv declaration with nn.Conv-compatible tree paths and
+    initializers; used by the packed-stem fast path so checkpoints are
+    interchangeable with the standard block."""
+
+    cin: int
+    cout: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.cout),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.cout,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _PackedStem(nn.Module):
+    """block1 + pool + ReLU via the exact packed-width rewrite
+    (ops/packed_stem.py): ~1.5x faster on the MXU than the 64-lane convs."""
+
+    compute_dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from soft_contrastive_learning_tpu.ops.packed_stem import packed_stem_block
+
+        k1, b1 = _ConvParams(3, 64, self.param_dtype, name="conv1_1")()
+        k2, b2 = _ConvParams(64, 64, self.param_dtype, name="conv1_2")()
+        dt = self.compute_dtype
+        return packed_stem_block(
+            x.astype(dt), k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt)
+        )
+
+
 class _ConvBlock(nn.Module):
     """One VGG block: a sequence of 3x3 convs (ReLU on all but the last)."""
 
@@ -75,6 +117,7 @@ class VGG16(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     remat: bool = False
+    packed_stem: bool = False  # exact packed-width block1 (ops/packed_stem.py)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -91,9 +134,22 @@ class VGG16(nn.Module):
         )
         x = x - average_rgb.astype(self.compute_dtype)
 
+        use_packed = (
+            self.packed_stem
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         block_cls = nn.remat(_ConvBlock) if self.remat else _ConvBlock
         num_blocks = len(_VGG_BLOCKS)
         for bi, specs in enumerate(_VGG_BLOCKS):
+            if bi == 0 and use_packed:
+                # block1 + pool + relu, fused in packed layout (same params).
+                x = _PackedStem(
+                    compute_dtype=self.compute_dtype,
+                    param_dtype=self.param_dtype,
+                    name="block1",
+                )(x)
+                continue
             x = block_cls(
                 specs=specs,
                 compute_dtype=self.compute_dtype,
