@@ -15,6 +15,7 @@ subtrees are taken from the donor checkpoint; heads start fresh.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -24,6 +25,26 @@ import orbax.checkpoint as ocp
 
 # Parameter subtrees covered by the reference's 'vgg16_netvlad_pca' scope.
 WARM_START_SCOPES = ("vgg16", "netvlad")
+
+_RNG_BYTES = 512  # fixed-size buffer for serialized numpy Generator states
+
+
+def numpy_rng_to_array(gen: np.random.Generator) -> np.ndarray:
+    """Serialize a numpy Generator's bit-generator state to a fixed-size
+    uint8 array (orbax payloads need stable shapes)."""
+    raw = json.dumps(gen.bit_generator.state).encode()
+    assert len(raw) < _RNG_BYTES, "rng state unexpectedly large"
+    buf = np.zeros(_RNG_BYTES, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    return buf
+
+
+def numpy_rng_from_array(buf: np.ndarray) -> np.random.Generator:
+    raw = bytes(np.asarray(buf, np.uint8)).rstrip(b"\x00")
+    state = json.loads(raw.decode())
+    gen = np.random.default_rng()
+    gen.bit_generator.state = state
+    return gen
 
 
 class RunCheckpoints:
@@ -40,7 +61,12 @@ class RunCheckpoints:
             )
 
     @staticmethod
-    def _payload(train_state, pca_state: Optional[dict], loss_pca_state: Optional[dict]):
+    def _payload(
+        train_state,
+        pca_state: Optional[dict],
+        loss_pca_state: Optional[dict],
+        extras: Optional[dict] = None,
+    ):
         payload = {
             "params": train_state.params,
             "opt_state": train_state.opt_state,
@@ -51,6 +77,8 @@ class RunCheckpoints:
             payload["pca"] = pca_state
         if loss_pca_state is not None:
             payload["loss_pca"] = loss_pca_state
+        if extras is not None:
+            payload["extras"] = extras
         return payload
 
     def save(
@@ -60,8 +88,9 @@ class RunCheckpoints:
         train_state,
         pca_state: Optional[dict] = None,
         loss_pca_state: Optional[dict] = None,
+        extras: Optional[dict] = None,
     ) -> None:
-        payload = self._payload(train_state, pca_state, loss_pca_state)
+        payload = self._payload(train_state, pca_state, loss_pca_state, extras)
         self._mgrs[role].save(int(step), args=ocp.args.StandardSave(payload))
 
     def wait(self) -> None:
@@ -71,12 +100,15 @@ class RunCheckpoints:
     def latest(self, role: str = "rolling") -> Optional[int]:
         return self._mgrs[role].latest_step()
 
-    def restore(self, role: str, step: int, like_state, like_pca=None, like_loss_pca=None):
+    def restore(
+        self, role: str, step: int, like_state, like_pca=None,
+        like_loss_pca=None, like_extras=None,
+    ):
         """Restore a payload shaped like the given state templates. Returns
-        (train_state, pca_state_dict, loss_pca_state_dict)."""
+        (train_state, pca_state_dict, loss_pca_state_dict, extras_dict)."""
         from soft_contrastive_learning_tpu.train.step import TrainState
 
-        template = self._payload(like_state, like_pca, like_loss_pca)
+        template = self._payload(like_state, like_pca, like_loss_pca, like_extras)
         template["rng"] = np.asarray(template["rng"])
         restored = self._mgrs[role].restore(
             int(step), args=ocp.args.StandardRestore(template)
@@ -87,7 +119,12 @@ class RunCheckpoints:
             step=restored["step"],
             rng=jax.random.wrap_key_data(restored["rng"]),
         )
-        return state, restored.get("pca"), restored.get("loss_pca")
+        return (
+            state,
+            restored.get("pca"),
+            restored.get("loss_pca"),
+            restored.get("extras"),
+        )
 
     def close(self) -> None:
         for mgr in self._mgrs.values():

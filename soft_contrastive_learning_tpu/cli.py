@@ -162,10 +162,13 @@ def cmd_train(args) -> int:
     out_dir = os.path.join(args.out_root, out_folder)
 
     if args.task_id == -1:
-        # Self-submission convention (reference train/train.py:1216-1219,1465-1466)
+        # Self-submission convention (reference train/train.py:1216-1219,1465-1466):
+        # freeze this CLI module and submit 'python cli.py train <flags>'.
         params = [(k, v) for k, v in vars(args).items()
-                  if k not in ("task_id", "func") and v not in ("", None, False)]
-        run_one_job(os.path.abspath(__file__), params + [("task_id", 1)],
+                  if k not in ("task_id", "func", "command")
+                  and v not in ("", None, False)]
+        run_one_job(os.path.abspath(__file__), params,
+                    positional_args=("train",),
                     queue=args.queue, out_dir=out_dir, memory=50,
                     name=f"train_{args.loss}", overwrite=True, array=True,
                     num_jobs=1)

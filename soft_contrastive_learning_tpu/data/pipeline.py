@@ -102,10 +102,19 @@ class ToyCitySource:
         return {k: [v[i] for i in order] for k, v in meta.items()}
 
     def anchor_indices(self, set_name: str, r: int, epoch: int) -> np.ndarray:
+        """Shuffled indices of one image per r-spaced point along the loop —
+        the in-memory analog of prep stages 013+014 (cluster then presample)."""
+        city = self._city(set_name)
         meta = self.epoch_meta(set_name, epoch)
-        n = len(meta["t"])
+        spacing = 2 * np.pi * city.radius / len(city)
+        stride = max(int(round(max(r, 1) / max(spacing, 1e-9))), 1)
+        selected = set(range(0, len(city), stride))
+        rows = [
+            row for row, orig in enumerate(np.asarray(meta["idx"], dtype=int))
+            if orig in selected
+        ]
         rng = np.random.default_rng(self.seed + 7 * epoch)
-        return rng.permutation(n)
+        return rng.permutation(np.asarray(rows, dtype=int))
 
     def cluster_meta(self, set_name: str, r: int) -> Dict[str, List[str]]:
         city = self._city(set_name)

@@ -426,10 +426,9 @@ def cluster_linear(ctx: PrepContext, fold: str, mode: str = "ref") -> None:
     order = np.argsort(np.asarray(day["t"], dtype=np.int64))
     day = _filter(day, order)
     xy = get_xy(day)
-    keep = [0]
-    for i in range(1, len(xy)):
-        if np.sum((xy[i] - xy[keep[-1]]) ** 2) > r**2:
-            keep.append(i)
+    from soft_contrastive_learning_tpu.evaluation.topn import spatial_subsample
+
+    keep = spatial_subsample(xy, r, strict=True)  # 013 uses '>' (see helper)
     out = _filter(day, np.asarray(keep))
     save_csv(out, out_csv)
     save_pickle([xy[keep], day, keep], os.path.join(out_dir, f"{fold}_{mode}_{r}.pickle"))

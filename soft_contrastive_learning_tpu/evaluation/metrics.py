@@ -13,6 +13,9 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+# numpy renamed trapz -> trapezoid in 2.0; support both.
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 def geo_dists_of_retrievals(
     query_xy: np.ndarray,  # (Q, 2)
@@ -54,7 +57,7 @@ def localization_summary(
         x = np.linspace(0, rad, num=num_points)
         per_n = np.stack([pct_within(top_n[:, n], x) for n in range(top_n.shape[1])])
         optimum = pct_within(np.asarray(optimal_dists).reshape(-1), x)
-        auc = float(np.trapezoid(per_n[0], x))
+        auc = float(_trapezoid(per_n[0], x))
         scalars[f"{rad}m-auc@Top1"] = auc
         scalars[f"%<{rad}m@Top1"] = float(per_n[0, -1])
         curves[rad] = {"x": x, "top_n": per_n, "optimum": optimum}

@@ -27,16 +27,22 @@ DEFAULT_L = (0.0, 0.3, 1.0, 5.0)
 DEFAULT_D = (64, 128, 256, 512, 1024, 2048, 4096)
 
 
-def spatial_subsample(ref_xy: np.ndarray, spacing: float) -> List[int]:
-    """Keep a reference whenever it is >= ``spacing`` from the last kept one
-    (reference evaluation/top-n.py:91-94; sequential, not greedy-coverage)."""
+def spatial_subsample(
+    ref_xy: np.ndarray, spacing: float, strict: bool = False
+) -> List[int]:
+    """Keep a reference whenever it is >= ``spacing`` (or > with ``strict``)
+    from the last kept one (sequential, not greedy-coverage).
+
+    The reference uses '>=' in the top-N sweep (evaluation/top-n.py:91-94) but
+    '>' in prep stage 013 (prepare_data/013_cluster_linear.py:44) — the
+    ``strict`` flag captures both. NOTE: the reference top-n loop starts at
+    i=0 and so duplicates index 0 when spacing == 0; starting at 1 fixes that
+    quirk without changing any other selection."""
     keep = [0]
     sp2 = spacing**2
-    # NOTE: the reference loop starts at i=0 and so duplicates index 0 when
-    # spacing == 0 (evaluation/top-n.py:91-94); starting at 1 fixes that quirk
-    # without changing any other selection.
     for i in range(1, len(ref_xy)):
-        if np.sum((ref_xy[i] - ref_xy[keep[-1]]) ** 2) >= sp2:
+        d2 = np.sum((ref_xy[i] - ref_xy[keep[-1]]) ** 2)
+        if (d2 > sp2) if strict else (d2 >= sp2):
             keep.append(i)
     return keep
 

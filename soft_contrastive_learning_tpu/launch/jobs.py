@@ -31,6 +31,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 class JobSpec:
     script: str
     script_parameters: Sequence[Tuple[str, object]] = ()
+    positional_args: Sequence[str] = ()  # e.g. a CLI subcommand like 'train'
     out_dir: str = "runs/job"
     name: str = ""
     queue: str = "middle"  # CPU: short/middle/long; GPU: 2h/24h/48h/5d
@@ -44,10 +45,19 @@ class JobSpec:
     task_flag: str = "task_id"
 
     def rendered_command(self, extra: str = "") -> str:
-        cmd = os.path.join(self.out_dir, os.path.basename(self.script))
+        """Shell-safe command line: values are quoted; booleans render as
+        bare flags when True (argparse store_true) and are omitted when
+        False/None/empty."""
+        parts = [shlex.quote(os.path.join(self.out_dir, os.path.basename(self.script)))]
+        parts += [shlex.quote(str(a)) for a in self.positional_args]
         for k, v in self.script_parameters:
-            cmd += f" --{k} {v}"
-        return cmd + extra
+            if v is None or v == "" or v is False:
+                continue
+            if v is True:
+                parts.append(f"--{k}")
+            else:
+                parts.append(f"--{k} {shlex.quote(str(v))}")
+        return " ".join(parts) + extra
 
 
 def _sge_script(spec: JobSpec) -> str:
@@ -95,6 +105,7 @@ def _slurm_script(spec: JobSpec) -> str:
 def run_one_job(
     script: str,
     script_parameters: Sequence[Tuple[str, object]] = (),
+    positional_args: Sequence[str] = (),
     queue: str = "middle",
     out_dir: str = "runs/job",
     gpu: int = 1,
@@ -132,6 +143,7 @@ def run_one_job(
 
     spec = JobSpec(
         script=script, script_parameters=tuple(script_parameters),
+        positional_args=tuple(positional_args),
         out_dir=out_dir, name=name, queue=queue, cpu_only=cpu_only, gpu=gpu,
         num_cpu_cores=num_cpu_cores, memory_gb=memory, hostname=hostname,
         array=array, num_jobs=num_jobs,
@@ -150,7 +162,15 @@ def run_one_job(
 
     if not hold_off:
         if submit is None:
-            submit = lambda p: subprocess.call([submit_cmd, p])
+            def submit(p):
+                try:
+                    return subprocess.call([submit_cmd, p])
+                except FileNotFoundError:
+                    print(
+                        f"{submit_cmd} not available on this host; "
+                        f"submission script rendered at {p}"
+                    )
+                    return 127
         submit(sub_path)
     return sub_path
 

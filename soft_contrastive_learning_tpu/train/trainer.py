@@ -30,7 +30,12 @@ import numpy as np
 
 from soft_contrastive_learning_tpu.core.config import TrainConfig
 from soft_contrastive_learning_tpu.core.logging import MetricsWriter, RunLogger, StepTimer
-from soft_contrastive_learning_tpu.checkpoints.manager import RunCheckpoints, warm_start_params
+from soft_contrastive_learning_tpu.checkpoints.manager import (
+    RunCheckpoints,
+    numpy_rng_from_array,
+    numpy_rng_to_array,
+    warm_start_params,
+)
 from soft_contrastive_learning_tpu.data.pipeline import (
     Prefetcher,
     assemble_batch,
@@ -114,6 +119,10 @@ class Trainer:
             if cfg.loss.incremental else None
 
         self.rng = np.random.default_rng(cfg.seed)
+        # Separate stream for the eval paths: they run on the main thread
+        # while the Prefetcher producer is concurrently drawing from self.rng
+        # (numpy Generators are not thread-safe).
+        self.eval_rng = np.random.default_rng(cfg.seed + 1)
         self._pool = ThreadPoolExecutor(max_workers=8)
         self.global_step = 0
         self.used_images: set = set()
@@ -123,10 +132,10 @@ class Trainer:
         self._profiling = False
 
     # ------------------------------------------------------------ helpers
-    def _sampler_for(self, meta) -> TupleSampler:
+    def _sampler_for(self, meta, rng=None) -> TupleSampler:
         return TupleSampler(
             self.cfg.tuples, self.cfg.loss, self.cfg.tuple_shape,
-            get_xy(meta), get_yaw(meta), rng=self.rng,
+            get_xy(meta), get_yaw(meta), rng=rng if rng is not None else self.rng,
         )
 
     def _augment_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -211,7 +220,7 @@ class Trainer:
         train/train.py:1112-1149)."""
         cfg = self.cfg
         meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
-        sampler = self._sampler_for(meta)
+        sampler = self._sampler_for(meta, rng=self.eval_rng)
         n = len(meta["t"])
         test_number = global_step // max(cfg.eval_step, 1)
         per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
@@ -256,10 +265,11 @@ class Trainer:
         k = min(5, n_ref)
         _, latent_idx = topk_l2(query_features, ref_features, k)
         latent_idx = np.asarray(latent_idx)
-        opt_dists, _ = topk_l2(
+        opt_d, opt_idx = topk_l2(
             query_xy.astype(np.float32), ref_xy.astype(np.float32), 1
         )
-        opt_dists = np.asarray(opt_dists)[:, 0]
+        opt_dists = np.asarray(opt_d)[:, 0]
+        opt_idx = np.asarray(opt_idx)
 
         scalars, curves = localization_summary(query_xy, ref_xy, latent_idx, opt_dists)
         self.writers[mode].scalars(scalars, global_step)
@@ -270,9 +280,6 @@ class Trainer:
                     bundle, rad, f"{mode} epoch {epoch}",
                     os.path.join(self.out_dir, f"{mode}_{epoch:02d}_{global_step}_{rad}.pdf"),
                 )
-            opt_idx = np.asarray(
-                topk_l2(query_xy.astype(np.float32), ref_xy.astype(np.float32), 1)[1]
-            )
             self._save_triptychs(
                 mode, epoch, global_step, query_meta, q_idx, ref_meta,
                 latent_idx, opt_idx, query_xy, ref_xy,
@@ -292,7 +299,7 @@ class Trainer:
             self.out_dir, f"{mode}_{epoch:02d}_{global_step}_examples"
         )
         os.makedirs(out_dir, exist_ok=True)
-        picks = self.rng.choice(
+        picks = self.eval_rng.choice(
             len(q_idx), size=min(num_examples, len(q_idx)), replace=False
         )
         for i in picks:
@@ -319,7 +326,10 @@ class Trainer:
             self.log(f"**** EPOCH {epoch} ****")
             self.used_images.clear()
             self.train_one_epoch(epoch)
-            self.ckpts.save("epoch", epoch, self.state, self._pca_sd(), self._loss_pca_sd())
+            self.ckpts.save(
+                "epoch", epoch, self.state, self._pca_sd(), self._loss_pca_sd(),
+                self._extras(),
+            )
         self.ckpts.wait()
 
     def _pca_sd(self):
@@ -331,6 +341,15 @@ class Trainer:
             if self.loss_pca is not None and self.loss_pca.initialized
             else None
         )
+
+    def _extras(self):
+        """Host-side sampler RNG states: checkpointing them makes resume
+        reproduce the exact sample stream (SURVEY.md §5: the payload is
+        {params, opt_state, step, PCA state, sampler RNG})."""
+        return {
+            "sampler_rng": numpy_rng_to_array(self.rng),
+            "eval_rng": numpy_rng_to_array(self.eval_rng),
+        }
 
     def train_one_epoch(self, epoch: int) -> None:
         cfg = self.cfg
@@ -345,18 +364,22 @@ class Trainer:
         mining_count = 0
 
         # Segment the epoch at mining boundaries; within a segment, host batch
-        # assembly runs ahead of the device on a producer thread.
+        # assembly runs ahead of the device on a producer thread. Boundaries
+        # are the steps divisible by mining_step — exactly the reference's
+        # refresh condition (train/train.py:1014) — NOT fixed-length segments,
+        # which would drift whenever tuples_per_batch doesn't divide
+        # mining_step and silently disable later refreshes.
+        boundary_mask = steps % cfg.mining_step == 0
         seg_start = 0
         while seg_start < len(steps):
             step0 = int(steps[seg_start])
-            if step0 % cfg.mining_step == 0:
+            if boundary_mask[seg_start]:
                 with self.timer.span("mining_refresh"):
                     self.log("Caching features for hard negative mining.")
                     self._mining_refresh(epoch, step0, mining_count, meta, anchor_indices)
                 mining_count += 1
-            seg_end = seg_start + max(
-                1, (cfg.mining_step + cfg.tuples_per_batch - 1) // cfg.tuples_per_batch
-            )
+            later = np.flatnonzero(boundary_mask[seg_start + 1 :])
+            seg_end = seg_start + 1 + (int(later[0]) if len(later) else len(steps))
             seg_steps = steps[seg_start:seg_end]
 
             def build(i: int, _steps=seg_steps):
@@ -384,7 +407,7 @@ class Trainer:
                 if abs_step % cfg.save_step == 0:
                     self.ckpts.save(
                         "part", self.global_step, self.state,
-                        self._pca_sd(), self._loss_pca_sd(),
+                        self._pca_sd(), self._loss_pca_sd(), self._extras(),
                     )
                 if item is None:
                     self.log("Faulty training batch... skipping.")
@@ -431,7 +454,10 @@ class Trainer:
     def _run_eval(self, epoch: int) -> None:
         self.log("EVALUATING")
         gs = self.global_step
-        self.ckpts.save("rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd())
+        self.ckpts.save(
+            "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
+            self._extras(),
+        )
         with self.timer.span("eval_loss"):
             self._eval_loss_other(epoch, gs)
         with self.timer.span("eval_localization"):
@@ -469,14 +495,18 @@ class Trainer:
         pca_t = self._pca_template(self.pca, self.cfg.model.descriptor_dim)
         loss_pca_t = self._pca_template(self.loss_pca, self.cfg.model.output_dim)
         try:
-            self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
-                role, step, self.state, pca_t, loss_pca_t
+            self.state, pca_sd, loss_pca_sd, extras = self.ckpts.restore(
+                role, step, self.state, pca_t, loss_pca_t, self._extras()
             )
         except ValueError:
-            # checkpoint saved before the streaming PCA initialized
-            self.state, pca_sd, loss_pca_sd = self.ckpts.restore(
-                role, step, self.state, None, None
+            # checkpoint saved before the streaming PCA initialized, or an
+            # older payload without extras
+            self.state, pca_sd, loss_pca_sd, extras = self.ckpts.restore(
+                role, step, self.state, None, None, None
             )
+        if extras is not None:
+            self.rng = numpy_rng_from_array(extras["sampler_rng"])
+            self.eval_rng = numpy_rng_from_array(extras["eval_rng"])
         if pca_sd is not None:
             self.pca = StreamingPCA.from_state_dict(pca_sd)
         if loss_pca_sd is not None:

@@ -135,12 +135,19 @@ def test_e2e_toycity_wms(tmp_path):
     # checkpoints exist; a fresh trainer resumes the FINAL state exactly
     assert trainer.ckpts.latest("rolling") is not None
     final_step = trainer.global_step
-    trainer.ckpts.save("part", final_step, trainer.state)
+    trainer.ckpts.save(
+        "part", final_step, trainer.state, extras=trainer._extras()
+    )
     trainer.ckpts.wait()
     cfg2 = _tiny_cfg("wms")
     trainer2 = Trainer(cfg2, _source(), out_dir=str(tmp_path / "run"))
     assert trainer2.resume_latest("part")
     assert trainer2.global_step == final_step
+    # sampler RNG stream resumes exactly
+    assert trainer2.rng.bit_generator.state == trainer.rng.bit_generator.state
+    np.testing.assert_array_equal(
+        trainer2.rng.integers(1000, size=5), trainer.rng.integers(1000, size=5)
+    )
     for p1, p2 in zip(
         jax.tree_util.tree_leaves(trainer.state.params),
         jax.tree_util.tree_leaves(trainer2.state.params),

@@ -81,6 +81,27 @@ def test_fc_head_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_mining_cadence_with_nondividing_batch(tmp_path):
+    """Mining refresh must fire at every step divisible by mining_step even
+    when tuples_per_batch does not divide mining_step (regression: fixed-size
+    segmenting refreshed only once per epoch)."""
+    cfg = _cfg("triplet", tuples_per_batch=3, mining_step=6, mining_cache_size=6)
+    src = _source()  # 24 points -> 24 anchors -> steps 0,3,...,21
+    tr = Trainer(cfg, src, out_dir=str(tmp_path / "run"))
+    refreshed_at = []
+    orig = tr._mining_refresh
+
+    def spy(epoch, step, count, meta, anchors):
+        refreshed_at.append(step)
+        return orig(epoch, step, count, meta, anchors)
+
+    tr._mining_refresh = spy
+    tr.train_one_epoch(0)
+    assert refreshed_at == [0, 6, 12, 18]
+    tr.close()
+
+
+@pytest.mark.slow
 def test_eval_artifacts_with_plots(tmp_path):
     cfg = _cfg("triplet", eval_step=6, save_step=10**9, num_eval_queries=3)
     tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"), save_plots=True)
