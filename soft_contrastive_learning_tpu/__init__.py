@@ -18,6 +18,28 @@ Design stance (TPU-first, not a TF1 translation):
 __version__ = "0.1.0"
 
 from soft_contrastive_learning_tpu.core.config import (  # noqa: F401
+    LossConfig,
     ModelConfig,
     TrainConfig,
+    TupleConfig,
 )
+
+
+def __getattr__(name):  # lazy: keep bare imports fast and jax-free
+    if name == "Trainer":
+        from soft_contrastive_learning_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "EmbeddingNet":
+        from soft_contrastive_learning_tpu.models.model import EmbeddingNet
+
+        return EmbeddingNet
+    if name == "ToyCitySource":
+        from soft_contrastive_learning_tpu.data.pipeline import ToyCitySource
+
+        return ToyCitySource
+    if name == "FilesystemSource":
+        from soft_contrastive_learning_tpu.data.pipeline import FilesystemSource
+
+        return FilesystemSource
+    raise AttributeError(name)

@@ -284,6 +284,49 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """Summarize (and optionally plot) a run's JSONL metrics — the viewer for
+    the TensorBoard-scalar replacement."""
+    import json as _json
+
+    summary = {}
+    for role in ("local", "other"):
+        path = os.path.join(args.run_dir, f"metrics_{role}.jsonl")
+        if not os.path.exists(path):
+            continue
+        series = {}
+        with open(path) as f:
+            for line in f:
+                rec = _json.loads(line)
+                series.setdefault(rec["tag"], []).append((rec["step"], rec["value"]))
+        summary[role] = series
+        for tag, pts in sorted(series.items()):
+            vals = [v for _, v in pts]
+            print(
+                f"[{role}] {tag}: n={len(vals)} last={vals[-1]:.6g} "
+                f"min={min(vals):.6g} max={max(vals):.6g}"
+            )
+        if args.plot:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            for tag, pts in series.items():
+                plt.clf()
+                xs, ys = zip(*sorted(pts))
+                plt.plot(xs, ys)
+                plt.xlabel("step")
+                plt.ylabel(tag)
+                plt.title(f"{role}/{tag}")
+                safe = tag.replace("/", "_").replace("%", "pct").replace("<", "lt")
+                plt.savefig(os.path.join(args.run_dir, f"metric_{role}_{safe}.pdf"))
+    if not summary:
+        print("no metrics found")
+        return 1
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -341,6 +384,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--mask_root", default="")
     p.add_argument("--max_epochs", type=int, default=5)
     p.set_defaults(func=cmd_prep)
+
+    p = sub.add_parser("metrics", help="summarize/plot a run's JSONL metrics")
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--plot", action="store_true")
+    p.set_defaults(func=cmd_metrics)
 
     p = sub.add_parser("bench", help="embedding-throughput benchmark")
     p.set_defaults(func=cmd_bench)

@@ -494,16 +494,24 @@ class Trainer:
             return False
         pca_t = self._pca_template(self.pca, self.cfg.model.descriptor_dim)
         loss_pca_t = self._pca_template(self.loss_pca, self.cfg.model.output_dim)
-        try:
-            self.state, pca_sd, loss_pca_sd, extras = self.ckpts.restore(
-                role, step, self.state, pca_t, loss_pca_t, self._extras()
-            )
-        except ValueError:
-            # checkpoint saved before the streaming PCA initialized, or an
-            # older payload without extras
-            self.state, pca_sd, loss_pca_sd, extras = self.ckpts.restore(
-                role, step, self.state, None, None, None
-            )
+        # Checkpoints may predate PCA initialization and/or lack the RNG
+        # extras; try templates from most to least complete.
+        last_err = None
+        for pt, lt, et in (
+            (pca_t, loss_pca_t, self._extras()),
+            (pca_t, loss_pca_t, None),
+            (None, None, self._extras()),
+            (None, None, None),
+        ):
+            try:
+                self.state, pca_sd, loss_pca_sd, extras = self.ckpts.restore(
+                    role, step, self.state, pt, lt, et
+                )
+                break
+            except ValueError as e:
+                last_err = e
+        else:
+            raise last_err
         if extras is not None:
             self.rng = numpy_rng_from_array(extras["sampler_rng"])
             self.eval_rng = numpy_rng_from_array(extras["eval_rng"])
