@@ -262,6 +262,7 @@ def cmd_roc(args) -> int:
 
 def cmd_prep(args) -> int:
     from soft_contrastive_learning_tpu.data.robotcar import prep
+    from soft_contrastive_learning_tpu.data.robotcar.analysis import plot_statistics
     from soft_contrastive_learning_tpu.data.robotcar.downsize import downsize_images
     from soft_contrastive_learning_tpu.data.robotcar.stages import PrepContext, run_all
 
@@ -275,12 +276,20 @@ def cmd_prep(args) -> int:
         } if args.mask_root else {},
     )
     dates = sorted(os.listdir(ctx.ins_root)) if ctx.ins_root else []
+    if args.task_id > 0:
+        # Array-job sharding: one date per task (the reference's per-date SGE
+        # array contract, prepare_data/001:22-25).
+        dates = dates[args.task_id - 1 : args.task_id]
     for date in dates:
         downsize_images(ctx, date)
         prep.interpolate_image_xy(ctx, date)
         if ctx.grid_masks:
             prep.assign_splits(ctx, date)
+    if args.task_id > 0:
+        return 0  # array tasks only do per-date work; a final run merges
     run_all(prep.metadata_stages(ctx), ctx)
+    if args.statistics:
+        plot_statistics(ctx, tag_root=args.tag_root)
     return 0
 
 
@@ -383,6 +392,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--camera_models", default="")
     p.add_argument("--mask_root", default="")
     p.add_argument("--max_epochs", type=int, default=5)
+    p.add_argument("--task_id", type=int, default=0,
+                   help=">0: process only the task_id-th date (array jobs)")
+    p.add_argument("--statistics", action="store_true",
+                   help="also run stage 009 dataset statistics")
+    p.add_argument("--tag_root", default="")
     p.set_defaults(func=cmd_prep)
 
     p = sub.add_parser("metrics", help="summarize/plot a run's JSONL metrics")

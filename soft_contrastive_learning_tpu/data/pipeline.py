@@ -25,7 +25,7 @@ import numpy as np
 
 from soft_contrastive_learning_tpu.core.config import TrainConfig
 from soft_contrastive_learning_tpu.data.toycity import ToyCity
-from soft_contrastive_learning_tpu.utils.cv import resize_img, standard_size
+from soft_contrastive_learning_tpu.utils.cv import normalize_geometry
 from soft_contrastive_learning_tpu.utils.io import load_csv, load_img
 
 ImageKey = Tuple[str, str, str]  # (date, folder, t)
@@ -136,12 +136,9 @@ def load_images_standard(
     h, w = cfg.model.image_height, cfg.model.image_width
 
     def one(key):
-        img = source.load_image(key)
-        if cfg.model.vlad_cores > 0 and (img.shape[0], img.shape[1]) != (h, w):
-            img = resize_img(img, max(h, w))
-        if (img.shape[0], img.shape[1]) != (h, w):
-            img = standard_size(img, h=h, w=w)
-        return img
+        return normalize_geometry(
+            source.load_image(key), h, w, keep_aspect=cfg.model.vlad_cores > 0
+        )
 
     if pool is not None:
         imgs = list(pool.map(one, keys))

@@ -22,21 +22,8 @@ import numpy as np
 from soft_contrastive_learning_tpu.core.config import ModelConfig
 from soft_contrastive_learning_tpu.models.model import create_model
 from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
-from soft_contrastive_learning_tpu.utils.cv import resize_img, standard_size
+from soft_contrastive_learning_tpu.utils.cv import normalize_geometry
 from soft_contrastive_learning_tpu.utils.io import load_csv, load_img, save_pickle
-
-
-def _prepare(img: np.ndarray, cfg: ModelConfig, portrait: bool) -> np.ndarray:
-    """Reference load_images geometry (evaluation/inference.py:52-74)."""
-    h, w = cfg.image_height, cfg.image_width
-    if portrait:
-        h, w = max(h, w), min(h, w)
-    if cfg.vlad_cores > 0 and not portrait:
-        if (img.shape[0], img.shape[1]) != (h, w):
-            img = resize_img(img, max(h, w))
-    if (img.shape[0], img.shape[1]) != (h, w):
-        img = standard_size(img, h=h, w=w)
-    return img
 
 
 class DescriptorExtractor:
@@ -59,19 +46,21 @@ class DescriptorExtractor:
         self.raw = raw_descriptor
         self._model = create_model(cfg)
         self._pool = ThreadPoolExecutor(max_workers=8)
+        # Same jitted embed as the trainer (train/step.py::build_embed_step).
+        from soft_contrastive_learning_tpu.train.step import build_embed_step
 
-        @jax.jit
-        def embed(p, images):
-            output, full = self._model.apply({"params": p}, images, train=False)
-            return output, full
-
-        self._embed = embed
+        self._embed = build_embed_step(cfg, self._model)
 
     def extract_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         prepared = [
-            _prepare(np.asarray(im), self.cfg, self.portrait) for im in images
+            normalize_geometry(
+                np.asarray(im), self.cfg.image_height, self.cfg.image_width,
+                keep_aspect=self.cfg.vlad_cores > 0, portrait=self.portrait,
+            )
+            for im in images
         ]
-        arr = np.stack(prepared).astype(np.float32)
+        # uint8 on the wire (matches data/pipeline.py); the model casts.
+        arr = np.stack(prepared).astype(np.uint8)
         n = len(arr)
         arr = pad_to_multiple(arr, self.batch_size)
         feats = []

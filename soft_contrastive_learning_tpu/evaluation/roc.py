@@ -120,7 +120,8 @@ def compile_roc(
             )
         if printed_gt:
             ax.set_xlim([0, t_max])
-            ax.set_ylim([min_y, min(max_y + 5, 100)])
+            # clamp: weak checkpoint sets can peak below the panel's floor
+            ax.set_ylim([min_y, max(min(max_y + 5, 100), min_y + 1)])
 
     axs[-1, -1].axis("off")
     for c in range(cols):

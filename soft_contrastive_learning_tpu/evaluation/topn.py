@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from soft_contrastive_learning_tpu.ops.topk import topk_l2, topk_l2_sharded
-from soft_contrastive_learning_tpu.pca.whiten import fit_pca
+from soft_contrastive_learning_tpu.pca.whiten import PCAWhitener, fit_pca
 from soft_contrastive_learning_tpu.utils.io import save_pickle
 
 DEFAULT_L = (0.0, 0.3, 1.0, 5.0)
@@ -55,9 +55,11 @@ def top_n_single(
     spacing: float,
     n: int = 25,
     mesh=None,
+    ref_idx: Optional[List[int]] = None,
 ) -> Optional[list]:
     """One (already PCA-reduced) retrieval pass -> the 6-element pickle list."""
-    ref_idx = spatial_subsample(ref_xy, spacing)
+    if ref_idx is None:
+        ref_idx = spatial_subsample(ref_xy, spacing)
     if len(ref_idx) < n:
         return None  # reference skips settings with too few refs (:96-97)
     sub_refs = np.asarray(ref_features)[ref_idx]
@@ -113,10 +115,23 @@ def get_top_n(
 ) -> Dict[str, str]:
     """Full D x L sweep -> {'l{l}_dim{d}': pickle_path} (reference layout)."""
     out_paths: Dict[str, str] = {}
-    for d in dims:
-        if d > min(pca_features.shape):
-            continue
-        whitener = fit_pca(jnp.asarray(pca_features), d)
+    usable_dims = [d for d in dims if d <= min(pca_features.shape)]
+    if not usable_dims:
+        return out_paths
+    # PCA components nest: one fit at the largest dim, sliced per d (saves
+    # |dims|-1 Gram eighs over the full held-out dump).
+    full_whitener = fit_pca(jnp.asarray(pca_features), max(usable_dims))
+    # The spatial subsample depends only on the spacing — compute each once.
+    subsample_cache = {
+        spacing: spatial_subsample(np.asarray(ref_xy), spacing)
+        for spacing in spacings
+    }
+    for d in usable_dims:
+        whitener = PCAWhitener(
+            components=full_whitener.components[:d],
+            mean=full_whitener.mean,
+            explained_variance=full_whitener.explained_variance[:d],
+        )
         ref_f = np.asarray(whitener.transform(jnp.asarray(ref_features)))
         query_f = np.asarray(whitener.transform(jnp.asarray(query_features)))
         for spacing in spacings:
@@ -129,7 +144,7 @@ def get_top_n(
                 continue
             result = top_n_single(
                 ref_f, query_f, np.asarray(ref_xy), np.asarray(query_xy),
-                spacing, n=n, mesh=mesh,
+                spacing, n=n, mesh=mesh, ref_idx=subsample_cache[spacing],
             )
             if result is None:
                 continue

@@ -34,6 +34,11 @@ def cross_sq_dists(queries: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
     The retrieval workhorse: replaces the reference's host-side sklearn KDTree
     queries (reference train/train.py:1181-1185, evaluation/top-n.py:103-106)
     with a brute-force matmul that lives in HBM and shards over chips.
+
+    PRECISION: the q^2 - 2qr + r^2 expansion cancels catastrophically in fp32
+    when inputs have large magnitude relative to their spread (e.g. raw UTM
+    coordinates ~1e6 m). Use it for unit-scale embeddings; for raw geographic
+    coordinates compute distances on host in float64 or center them first.
     """
     q2 = jnp.sum(jnp.square(queries), axis=-1)[:, None]
     r2 = jnp.sum(jnp.square(refs), axis=-1)[None, :]

@@ -137,12 +137,23 @@ class TupleSampler:
         while len(rand_negs) < n_rand_negs:
             if len(excluded) >= num_total:
                 return None
-            remaining = np.setdiff1d(
-                np.arange(num_total), np.fromiter(excluded, dtype=int, count=len(excluded))
-            )
-            if len(remaining) == 0:
-                return None
-            next_i = int(self.rng.choice(remaining))
+            # Rejection-sample first: excluded is tiny relative to the epoch
+            # set, so a draw almost always lands outside it — O(1) expected
+            # vs rebuilding an O(M log M) setdiff per negative.
+            next_i = -1
+            for _ in range(32):
+                cand = int(self.rng.integers(num_total))
+                if cand not in excluded:
+                    next_i = cand
+                    break
+            if next_i < 0:  # dense exclusion: fall back to the exact set
+                remaining = np.setdiff1d(
+                    np.arange(num_total),
+                    np.fromiter(excluded, dtype=int, count=len(excluded)),
+                )
+                if len(remaining) == 0:
+                    return None
+                next_i = int(self.rng.choice(remaining))
             rand_negs.append(next_i)
             if t.mutually_exclusive_negs:
                 excluded.update(self._neighborhood(next_i).tolist())

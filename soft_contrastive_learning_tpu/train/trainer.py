@@ -15,8 +15,9 @@ Capability parity with the reference's train()/train_one_epoch()
 * host batch assembly (sampler + image decode) prefetched on a producer thread
   while the device runs the previous step (the P1 pipeline, SURVEY.md §2),
 * full state checkpointing via orbax — params, optimizer, step, rng, PCA
-  states — so runs RESUME exactly (capability the reference lacks,
-  SURVEY.md §5).
+  states, sampler RNG, epoch — so runs resume with exact weights/optimizer
+  state and an epoch-granular data stream (the reference cannot resume at
+  all, SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -125,6 +126,8 @@ class Trainer:
         self.eval_rng = np.random.default_rng(cfg.seed + 1)
         self._pool = ThreadPoolExecutor(max_workers=8)
         self.global_step = 0
+        self.start_epoch = 0
+        self._current_epoch = 0
         self.used_images: set = set()
         # jax.profiler trace of the first N steps (SURVEY.md §5 tracing:
         # replaces the reference's ad-hoc stage prints with a real profile).
@@ -265,11 +268,14 @@ class Trainer:
         k = min(5, n_ref)
         _, latent_idx = topk_l2(query_features, ref_features, k)
         latent_idx = np.asarray(latent_idx)
-        opt_d, opt_idx = topk_l2(
-            query_xy.astype(np.float32), ref_xy.astype(np.float32), 1
-        )
-        opt_dists = np.asarray(opt_d)[:, 0]
-        opt_idx = np.asarray(opt_idx)
+        # Geographic nearest ref on host in float64: raw UTM coordinates
+        # (~1e6 m) destroy fp32 precision in the q^2-2qr+r^2 device expansion
+        # (the reference used an exact float64 KDTree here, train/train.py:1184).
+        geo_d = np.linalg.norm(
+            query_xy[:, None, :] - ref_xy[None, :, :], axis=-1
+        )  # (Q, R) float64
+        opt_idx = np.argmin(geo_d, axis=1)[:, None]
+        opt_dists = geo_d[np.arange(len(query_xy)), opt_idx[:, 0]]
 
         scalars, curves = localization_summary(query_xy, ref_xy, latent_idx, opt_dists)
         self.writers[mode].scalars(scalars, global_step)
@@ -322,7 +328,7 @@ class Trainer:
 
     # ------------------------------------------------------------ training
     def train(self) -> None:
-        for epoch in range(self.cfg.max_epoch):
+        for epoch in range(self.start_epoch, self.cfg.max_epoch):
             self.log(f"**** EPOCH {epoch} ****")
             self.used_images.clear()
             self.train_one_epoch(epoch)
@@ -343,18 +349,20 @@ class Trainer:
         )
 
     def _extras(self):
-        """Host-side sampler RNG states: checkpointing them makes resume
-        reproduce the exact sample stream (SURVEY.md §5: the payload is
-        {params, opt_state, step, PCA state, sampler RNG})."""
+        """Host-side sampler RNG states + current epoch. Segments draw from
+        child Generators spawned off self.rng on the main thread, so this
+        snapshot is race-free and a resumed run reproduces the sample stream
+        of every segment that starts after the restore point."""
         return {
             "sampler_rng": numpy_rng_to_array(self.rng),
             "eval_rng": numpy_rng_to_array(self.eval_rng),
+            "epoch": np.asarray(self._current_epoch, np.int32),
         }
 
     def train_one_epoch(self, epoch: int) -> None:
         cfg = self.cfg
+        self._current_epoch = epoch
         meta = self.source.epoch_meta(cfg.local_ref_set, epoch)
-        sampler = self._sampler_for(meta)
         anchor_indices = np.asarray(
             self.source.anchor_indices(cfg.local_ref_set, cfg.train_ref_r, epoch),
             dtype=int,
@@ -381,8 +389,13 @@ class Trainer:
             later = np.flatnonzero(boundary_mask[seg_start + 1 :])
             seg_end = seg_start + 1 + (int(later[0]) if len(later) else len(steps))
             seg_steps = steps[seg_start:seg_end]
+            # The producer thread owns a child Generator spawned here (on the
+            # main thread): checkpoint snapshots of self.rng stay consistent
+            # and deterministic while batches are built concurrently.
+            seg_rng = self.rng.spawn(1)[0]
+            sampler = self._sampler_for(meta, rng=seg_rng)
 
-            def build(i: int, _steps=seg_steps):
+            def build(i: int, _steps=seg_steps, sampler=sampler):
                 s = int(_steps[i])
                 anchors = anchor_indices[s : s + cfg.tuples_per_batch]
                 if len(anchors) < cfg.tuples_per_batch:
@@ -515,6 +528,9 @@ class Trainer:
         if extras is not None:
             self.rng = numpy_rng_from_array(extras["sampler_rng"])
             self.eval_rng = numpy_rng_from_array(extras["eval_rng"])
+            if "epoch" in extras:
+                self.start_epoch = int(extras["epoch"])
+                self._current_epoch = self.start_epoch
         if pca_sd is not None:
             self.pca = StreamingPCA.from_state_dict(pca_sd)
         if loss_pca_sd is not None:

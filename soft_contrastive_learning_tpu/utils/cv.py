@@ -42,6 +42,27 @@ def standard_size(img: np.ndarray, h: int = 180, w: int = 240) -> np.ndarray:
     return img[top : top + h, left : left + w, :]
 
 
+def normalize_geometry(
+    img: np.ndarray,
+    h: int,
+    w: int,
+    keep_aspect: bool = False,
+    portrait: bool = False,
+) -> np.ndarray:
+    """Bring an image to the network's (h, w): NetVLAD-style models keep
+    aspect via max-side resize first (reference evaluation/inference.py:52-74,
+    train/train.py:423-430); ``portrait`` swaps the target dims (the
+    reference's 'achen' sets). The single implementation shared by the
+    training pipeline and the offline extractor."""
+    if portrait:
+        h, w = max(h, w), min(h, w)
+    if keep_aspect and not portrait and (img.shape[0], img.shape[1]) != (h, w):
+        img = resize_img(img, max(h, w))
+    if (img.shape[0], img.shape[1]) != (h, w):
+        img = standard_size(img, h=h, w=w)
+    return img
+
+
 def put_text(
     text: str,
     image: np.ndarray,
