@@ -336,6 +336,32 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    import jax
+
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.models.model import init_params
+    from soft_contrastive_learning_tpu.serving import DescriptorService, serve
+    from soft_contrastive_learning_tpu.utils.io import load_pickle
+
+    cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
+                      out_dim=args.out_dim)
+    params = init_params(cfg, jax.random.key(0))
+    if args.checkpoint.endswith(".npz"):
+        from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
+        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
+
+        donor, _ = convert_checkpoint(args.checkpoint)
+        params, _ = warm_start_params(params, donor)
+    index = np.asarray(load_pickle(args.index)) if args.index else None
+    service = DescriptorService(cfg, params, batch_size=args.batch_size,
+                                index=index)
+    server = serve(service, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}")
+    server.serve_forever()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -403,6 +429,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--run_dir", required=True)
     p.add_argument("--plot", action="store_true")
     p.set_defaults(func=cmd_metrics)
+
+    p = sub.add_parser("serve", help="HTTP descriptor-embedding service")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--index", default="", help="feature pickle to serve /search from")
+    p.add_argument("--vlad_cores", type=int, default=64)
+    p.add_argument("--reduction", default="none")
+    p.add_argument("--out_dim", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8377)
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("bench", help="embedding-throughput benchmark")
     p.set_defaults(func=cmd_bench)
