@@ -128,6 +128,8 @@ class Trainer:
         self.global_step = 0
         self.start_epoch = 0
         self._current_epoch = 0
+        self._seg_ctx = None  # live segment position for mid-epoch checkpoints
+        self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
         # jax.profiler trace of the first N steps (SURVEY.md §5 tracing:
         # replaces the reference's ad-hoc stage prints with a real profile).
@@ -331,7 +333,9 @@ class Trainer:
         for epoch in range(self.start_epoch, self.cfg.max_epoch):
             self.log(f"**** EPOCH {epoch} ****")
             self.used_images.clear()
-            self.train_one_epoch(epoch)
+            self.train_one_epoch(epoch, resume_ctx=self._resume_ctx)
+            self._resume_ctx = None
+            self._current_epoch = epoch + 1  # epoch checkpoints resume AFTER it
             self.ckpts.save(
                 "epoch", epoch, self.state, self._pca_sd(), self._loss_pca_sd(),
                 self._extras(),
@@ -349,17 +353,33 @@ class Trainer:
         )
 
     def _extras(self):
-        """Host-side sampler RNG states + current epoch. Segments draw from
-        child Generators spawned off self.rng on the main thread, so this
-        snapshot is race-free and a resumed run reproduces the sample stream
-        of every segment that starts after the restore point."""
+        """Host-side sampler RNG states + position. Each segment draws from a
+        child Generator spawned off self.rng on the main thread, so snapshots
+        are race-free; inside a segment the PRE-SPAWN state is saved together
+        with the segment step and the number of consumed batches, which lets
+        resume re-spawn the identical child and fast-forward the sample
+        stream to the exact step (losses/order reproduce; the rebuilt mining
+        cache uses the restored — slightly later — params)."""
+        ctx = self._seg_ctx
         return {
-            "sampler_rng": numpy_rng_to_array(self.rng),
+            "sampler_rng": (
+                ctx["pre_spawn"] if ctx is not None
+                else numpy_rng_to_array(self.rng)
+            ),
             "eval_rng": numpy_rng_to_array(self.eval_rng),
             "epoch": np.asarray(self._current_epoch, np.int32),
+            "seg_step0": np.asarray(
+                ctx["seg_step0"] if ctx is not None else -1, np.int32
+            ),
+            "consumed": np.asarray(
+                ctx["consumed"] if ctx is not None else 0, np.int32
+            ),
+            "mining_count": np.asarray(
+                ctx["mining_count"] if ctx is not None else 0, np.int32
+            ),
         }
 
-    def train_one_epoch(self, epoch: int) -> None:
+    def train_one_epoch(self, epoch: int, resume_ctx: Optional[dict] = None) -> None:
         cfg = self.cfg
         self._current_epoch = epoch
         meta = self.source.epoch_meta(cfg.local_ref_set, epoch)
@@ -378,7 +398,24 @@ class Trainer:
         # which would drift whenever tuples_per_batch doesn't divide
         # mining_step and silently disable later refreshes.
         boundary_mask = steps % cfg.mining_step == 0
+        # Mid-epoch resume: fast-forward to the checkpointed segment without
+        # spawning children for the skipped segments (self.rng was restored to
+        # the pre-spawn state OF the target segment).
+        resume_step0 = int(resume_ctx["seg_step0"]) if resume_ctx else -1
+        skip_items = int(resume_ctx["consumed"]) if resume_ctx else 0
+        suppress_side_effects_once = resume_ctx is not None
         seg_start = 0
+        if resume_ctx is not None and resume_step0 >= 0:
+            mining_count = int(resume_ctx["mining_count"])
+            in_seg = np.flatnonzero(steps <= resume_step0)
+            # the segment containing resume_step0 starts at the last boundary
+            # at or before it
+            starts = np.flatnonzero(boundary_mask & (steps <= resume_step0))
+            seg_start = int(starts[-1]) if len(starts) else 0
+            self.log(
+                f"Resuming epoch {epoch} at segment step {int(steps[seg_start])}, "
+                f"skipping {skip_items} consumed batches"
+            )
         while seg_start < len(steps):
             step0 = int(steps[seg_start])
             if boundary_mask[seg_start]:
@@ -389,20 +426,42 @@ class Trainer:
             later = np.flatnonzero(boundary_mask[seg_start + 1 :])
             seg_end = seg_start + 1 + (int(later[0]) if len(later) else len(steps))
             seg_steps = steps[seg_start:seg_end]
-            # The producer thread owns a child Generator spawned here (on the
-            # main thread): checkpoint snapshots of self.rng stay consistent
-            # and deterministic while batches are built concurrently.
-            seg_rng = self.rng.spawn(1)[0]
+            # The producer thread owns a child Generator derived here (on the
+            # main thread) by DRAWING a seed — not Generator.spawn, whose
+            # SeedSequence child counter is not part of bit_generator.state
+            # and therefore would not survive checkpoint restore. A restored
+            # pre-draw state re-derives the identical child on resume.
+            pre_spawn = numpy_rng_to_array(self.rng)
+            seg_seed = int(self.rng.integers(np.iinfo(np.int64).max))
+            seg_rng = np.random.default_rng(seg_seed)
             sampler = self._sampler_for(meta, rng=seg_rng)
+            self._seg_ctx = {
+                "pre_spawn": pre_spawn,
+                "seg_step0": step0,
+                "consumed": 0,
+                "mining_count": mining_count - 1 if boundary_mask[seg_start] else mining_count,
+            }
 
-            def build(i: int, _steps=seg_steps, sampler=sampler):
+            def sample_for(i: int, _steps=seg_steps, sampler=sampler):
                 s = int(_steps[i])
                 anchors = anchor_indices[s : s + cfg.tuples_per_batch]
                 if len(anchors) < cfg.tuples_per_batch:
                     anchors = pad_to_multiple(anchors, cfg.tuples_per_batch)
-                sample = sampler.sample(
-                    anchors, use_hard=True, cache=self.mining_cache
-                )
+                return sampler.sample(anchors, use_hard=True, cache=self.mining_cache)
+
+            offset = 0
+            if skip_items > 0:
+                # replay the sampler draws of already-trained batches (no
+                # image IO) so the child rng advances identically
+                for i in range(min(skip_items, len(seg_steps))):
+                    sample_for(i)
+                offset = min(skip_items, len(seg_steps))
+                self._seg_ctx["consumed"] = offset
+                skip_items = 0
+
+            def build(i: int, _offset=offset, _sample_for=sample_for,
+                      _steps=seg_steps):
+                sample = _sample_for(i + _offset)
                 if sample is None:
                     return None
                 batch = assemble_batch(
@@ -412,12 +471,17 @@ class Trainer:
                 return batch, sample.used_indices
 
             consumed = 0
-            for item in Prefetcher(build, len(seg_steps)):
-                abs_step = int(seg_steps[consumed])
+            for item in Prefetcher(build, len(seg_steps) - offset):
+                abs_step = int(seg_steps[offset + consumed])
                 consumed += 1
-                if abs_step % cfg.eval_step == 0:
+                # items fully processed so far (the current one re-trains on
+                # resume; its eval/save are suppressed by the resume path)
+                self._seg_ctx["consumed"] = offset + consumed - 1
+                side_effects = not suppress_side_effects_once
+                suppress_side_effects_once = False
+                if side_effects and abs_step % cfg.eval_step == 0:
                     self._run_eval(epoch)
-                if abs_step % cfg.save_step == 0:
+                if side_effects and abs_step % cfg.save_step == 0:
                     self.ckpts.save(
                         "part", self.global_step, self.state,
                         self._pca_sd(), self._loss_pca_sd(), self._extras(),
@@ -456,6 +520,7 @@ class Trainer:
                         self.pca.update(np.asarray(metrics["pca_in"]))
                     if self.loss_pca is not None and "loss_pca_in" in metrics:
                         self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
+                self._seg_ctx["consumed"] = offset + consumed
                 if self._profiling and self.global_step >= self._profile_steps:
                     import jax.profiler
 
@@ -463,6 +528,7 @@ class Trainer:
                     self._profiling = False
                     self._profile_steps = 0
             seg_start = seg_end
+        self._seg_ctx = None
 
     def _run_eval(self, epoch: int) -> None:
         self.log("EVALUATING")
@@ -531,6 +597,12 @@ class Trainer:
             if "epoch" in extras:
                 self.start_epoch = int(extras["epoch"])
                 self._current_epoch = self.start_epoch
+            if int(extras.get("seg_step0", -1)) >= 0:
+                self._resume_ctx = {
+                    "seg_step0": int(extras["seg_step0"]),
+                    "consumed": int(extras["consumed"]),
+                    "mining_count": int(extras["mining_count"]),
+                }
         if pca_sd is not None:
             self.pca = StreamingPCA.from_state_dict(pca_sd)
         if loss_pca_sd is not None:

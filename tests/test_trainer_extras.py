@@ -102,6 +102,55 @@ def test_mining_cadence_with_nondividing_batch(tmp_path):
 
 
 @pytest.mark.slow
+def test_mid_epoch_exact_resume(tmp_path, monkeypatch):
+    """A run resumed from a mid-epoch 'part' checkpoint must consume the SAME
+    remaining batch sequence as the uninterrupted run (sampler-stream
+    exactness via the pre-spawn rng snapshot + consumed-count replay)."""
+    import soft_contrastive_learning_tpu.train.trainer as trainer_mod
+
+    def cfg():
+        return _cfg("triplet", tuples_per_batch=1, mining_step=6,
+                    mining_cache_size=6, save_step=6, eval_step=10**9)
+
+    orig = trainer_mod.assemble_batch  # capture once: spies must not nest
+
+    def record_batches(records):
+        def spy(cfg_, source, meta, indices, payload, epoch, pool=None):
+            records.append(tuple(indices.reshape(-1).tolist()))
+            return orig(cfg_, source, meta, indices, payload, epoch, pool)
+
+        return spy
+
+    # Run A: uninterrupted (eval disabled: its batches would interleave
+    # nondeterministically with the producer's in the recording)
+    rec_a = []
+    monkeypatch.setattr(trainer_mod, "assemble_batch", record_batches(rec_a))
+    tr_a = Trainer(cfg(), _source(), out_dir=str(tmp_path / "a"))
+    tr_a._run_eval = lambda *a, **k: None
+    tr_a.train()
+    assert len(rec_a) == 24
+    tr_a.ckpts.wait()
+    latest = tr_a.ckpts.latest("part")
+    assert latest is not None
+
+    # Run B: resume from A's latest mid-epoch part checkpoint
+    rec_b = []
+    monkeypatch.setattr(trainer_mod, "assemble_batch", record_batches(rec_b))
+    tr_b = Trainer(cfg(), _source(), out_dir=str(tmp_path / "a"))
+    tr_b._run_eval = lambda *a, **k: None
+    assert tr_b.resume_latest("part")
+    assert tr_b._resume_ctx is not None
+    resume_at = tr_b._resume_ctx["seg_step0"] + tr_b._resume_ctx["consumed"]
+    tr_b.train()
+    # B consumed exactly A's tail from the resume point on
+    assert rec_b == rec_a[resume_at:]
+    # and B's final step count matches A's
+    assert tr_b.global_step == tr_a.global_step
+    tr_a.close()
+    tr_b.close()
+
+
+@pytest.mark.slow
 def test_eval_artifacts_with_plots(tmp_path):
     cfg = _cfg("triplet", eval_step=6, save_step=10**9, num_eval_queries=3)
     tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"), save_plots=True)
