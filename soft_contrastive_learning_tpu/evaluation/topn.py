@@ -19,7 +19,15 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from soft_contrastive_learning_tpu.ops.topk import topk_l2, topk_l2_sharded
+from soft_contrastive_learning_tpu.ops.topk import (
+    topk_l2,
+    topk_l2_sharded,
+    topk_l2_tiled,
+)
+
+# Above this many reference rows, retrieval streams over HBM tiles instead of
+# materializing the (Q, R) distance matrix.
+_TILED_THRESHOLD = 200_000
 from soft_contrastive_learning_tpu.pca.whiten import PCAWhitener, fit_pca
 from soft_contrastive_learning_tpu.utils.io import save_pickle
 
@@ -71,6 +79,10 @@ def top_n_single(
             sub_refs = np.concatenate([sub_refs, np.full((pad, sub_refs.shape[1]), 1e9, np.float32)])
         top_f, top_i = topk_l2_sharded(
             jnp.asarray(query_features), jnp.asarray(sub_refs), n, mesh
+        )
+    elif len(sub_refs) > _TILED_THRESHOLD:
+        top_f, top_i = topk_l2_tiled(
+            jnp.asarray(query_features), jnp.asarray(sub_refs), n
         )
     else:
         top_f, top_i = topk_l2(jnp.asarray(query_features), jnp.asarray(sub_refs), n)

@@ -36,6 +36,52 @@ def topk_l2(
     return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def topk_l2_tiled(
+    queries: jnp.ndarray,  # (Q, D)
+    refs: jnp.ndarray,  # (R, D)
+    k: int,
+    tile: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded top-k: lax.scan over reference tiles with a running
+    (Q, k) best set in the carry, so the (Q, R) distance matrix is never
+    materialized — O(Q * tile) working set for arbitrarily large HBM-resident
+    indexes (the 'long retrieval axis', SURVEY.md §5). Same results as
+    topk_l2."""
+    q = queries.astype(jnp.float32)
+    r = refs.astype(jnp.float32)
+    n_refs = r.shape[0]
+    pad = (-n_refs) % tile
+    if pad:
+        # zero-pad and mask: inf coordinates would produce NaN distances
+        r = jnp.concatenate([r, jnp.zeros((pad, r.shape[1]), jnp.float32)])
+    n_tiles = r.shape[0] // tile
+    r_tiles = r.reshape(n_tiles, tile, r.shape[1])
+    idx_tiles = jnp.arange(n_tiles * tile, dtype=jnp.int32).reshape(n_tiles, tile)
+
+    nq = q.shape[0]
+    init = (
+        jnp.full((nq, k), -jnp.inf, jnp.float32),  # negated sq dists
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+
+    def body(carry, tile_in):
+        best_d, best_i = carry
+        refs_t, idx_t = tile_in
+        sq = cross_sq_dists(q, refs_t)  # (Q, tile)
+        neg = jnp.where(idx_t[None, :] < n_refs, -sq, -jnp.inf)
+        cand_d = jnp.concatenate([best_d, neg], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx_t[None, :], (nq, tile))], axis=1
+        )
+        nd, pos = jax.lax.top_k(cand_d, k)
+        ni = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (nd, ni), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, init, (r_tiles, idx_tiles))
+    return jnp.sqrt(jnp.maximum(-best_d, 0.0)), best_i
+
+
 def topk_l2_sharded(
     queries: jnp.ndarray,
     refs: jnp.ndarray,

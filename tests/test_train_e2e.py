@@ -104,6 +104,21 @@ def test_topk_matches_sklearn(rng):
     np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-3)
 
 
+def test_topk_tiled_matches_dense(rng):
+    from soft_contrastive_learning_tpu.ops.topk import topk_l2_tiled
+
+    q = rng.standard_normal((5, 12)).astype(np.float32)
+    r = rng.standard_normal((103, 12)).astype(np.float32)  # non-multiple of tile
+    d1, i1 = topk_l2(jnp.asarray(q), jnp.asarray(r), 7)
+    d2, i2 = topk_l2_tiled(jnp.asarray(q), jnp.asarray(r), 7, tile=16)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    # k larger than one tile still correct
+    d3, i3 = topk_l2_tiled(jnp.asarray(q), jnp.asarray(r), 20, tile=8)
+    d4, i4 = topk_l2(jnp.asarray(q), jnp.asarray(r), 20)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
 def test_topk_sharded(mesh8, rng):
     q = rng.standard_normal((4, 8)).astype(np.float32)
     r = rng.standard_normal((64, 8)).astype(np.float32)
