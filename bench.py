@@ -1,91 +1,8 @@
-"""Headline benchmark: VGG16-NetVLAD embedding throughput (images/sec/chip).
+"""Driver benchmark entry point — delegates to the packaged implementation
+(soft_contrastive_learning_tpu/benchmark.py) so the installed `scl-tpu bench`
+and this root script share one code path."""
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md north star): 10,000 images/sec/chip on TPU v5e.
-
-Measurement notes (see .claude/skills/verify/SKILL.md): through the axon
-relay, block_until_ready returns early and per-call host fetches pay ~50-80ms
-RTT, so the timed region is a lax.scan of ITERS forwards inside ONE jit call
-with a single scalar fetch at the end; compile/warmup excluded.
-"""
-
-from __future__ import annotations
-
-import json
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-BASELINE_IMG_PER_SEC = 10_000.0
-
-
-def measure(batch_size: int, iters: int, use_pallas: bool) -> float:
-    from soft_contrastive_learning_tpu.core.config import ModelConfig
-    from soft_contrastive_learning_tpu.models.model import create_model, init_params
-
-    cfg = ModelConfig(
-        vlad_cores=64,
-        reduction="none",
-        compute_dtype="bfloat16",
-        use_pallas=use_pallas,
-    )
-    model = create_model(cfg)
-    params = init_params(cfg, jax.random.key(0))
-
-    def many(p, x):
-        def body(carry, _):
-            # tiny data dependency so XLA can't hoist/elide iterations
-            out = model.apply({"params": p}, x + carry * 1e-12)[0]
-            return out[0, 0], out[0, 0]
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return outs.sum()
-
-    f = jax.jit(many)
-    x = jnp.asarray(
-        np.random.default_rng(0).random(
-            (batch_size, cfg.image_height, cfg.image_width, 3), np.float32
-        )
-        * 255.0
-    )
-    float(f(params, x))  # compile + warm
-    t0 = time.time()
-    float(f(params, x))  # one host fetch for the whole scan
-    dt = time.time() - t0
-    return batch_size * iters / dt
-
-
-def main() -> None:
-    on_tpu = jax.default_backend() == "tpu"
-    best = 0.0
-    config = None
-    batch_sizes = (256,) if on_tpu else (8,)
-    iters = 40 if on_tpu else 2
-    for bs in batch_sizes:
-        try:
-            rate = measure(bs, iters, use_pallas=on_tpu)
-        except Exception:
-            continue
-        if rate > best:
-            best, config = rate, bs
-    print(
-        json.dumps(
-            {
-                "metric": "vgg16_netvlad_embed_throughput",
-                "value": round(best, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 4),
-                "detail": {
-                    "backend": jax.default_backend(),
-                    "batch_size": config,
-                    "input": "180x240x3 bf16 compute",
-                    "descriptor_dim": 32768,
-                },
-            }
-        )
-    )
-
+from soft_contrastive_learning_tpu.benchmark import main
 
 if __name__ == "__main__":
     main()

@@ -29,7 +29,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shuffled_root", default="")
     p.add_argument("--loc_ref_root", default="")
     p.add_argument("--anchor_root", default="")
-    p.add_argument("--checkpoint", default="", help="warm-start donor (.npz TF1 export or orbax dir)")
+    p.add_argument("--checkpoint", default="",
+                   help="warm-start donor: a .npz TF1 export (see "
+                        "models/convert_tf1.py); to continue an orbax run "
+                        "use --resume with the same --out_folder")
     p.add_argument("--out_root", default="runs")
     p.add_argument("--out_folder", default="")
     p.add_argument("--max_to_keep", type=int, default=1)
@@ -164,9 +167,13 @@ def cmd_train(args) -> int:
     if args.task_id == -1:
         # Self-submission convention (reference train/train.py:1216-1219,1465-1466):
         # freeze this CLI module and submit 'python cli.py train <flags>'.
-        params = [(k, v) for k, v in vars(args).items()
-                  if k not in ("task_id", "func", "command")
-                  and v not in ("", None, False)]
+        params = [
+            (k, v) for k, v in vars(args).items()
+            if k not in ("task_id", "func", "command")
+            # identity checks: `v not in (..., False)` would drop 0/0.0
+            and v is not None and v is not False
+            and not (isinstance(v, str) and v == "")
+        ]
         run_one_job(os.path.abspath(__file__), params,
                     positional_args=("train",),
                     queue=args.queue, out_dir=out_dir, memory=50,
@@ -174,7 +181,8 @@ def cmd_train(args) -> int:
                     num_jobs=1)
         return 0
 
-    if not args.out_folder:
+    if not args.out_folder and not args.resume:
+        # fresh runs get a unique suffix; --resume must reuse the existing dir
         out_dir = unique_out_dir(args.out_root, out_folder)
 
     if args.toy_city:
@@ -185,7 +193,13 @@ def cmd_train(args) -> int:
         )
 
     warm_donor = None
-    if cfg.checkpoint and cfg.checkpoint.endswith(".npz"):
+    if cfg.checkpoint:
+        if not cfg.checkpoint.endswith(".npz"):
+            raise SystemExit(
+                f"--checkpoint {cfg.checkpoint!r}: only .npz TF1 exports are "
+                "supported for warm starts; to continue an orbax run use "
+                "--resume with the same --out_folder"
+            )
         from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
 
         warm_donor, _ = convert_checkpoint(cfg.checkpoint)
@@ -199,7 +213,8 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg, source, out_dir=out_dir, mesh=mesh,
                       save_plots=args.save_plots, warm_start_donor=warm_donor)
     if args.resume:
-        trainer.resume_latest()
+        if not trainer.resume_latest():
+            trainer.log("--resume requested but no checkpoint found; starting fresh")
     trainer.train()
     trainer.close()
     return 0
@@ -363,9 +378,9 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    from soft_contrastive_learning_tpu import benchmark
 
-    bench.main()
+    benchmark.main()
     return 0
 
 

@@ -61,8 +61,20 @@ class DescriptorService:
             cfg, params, batch_size=batch_size, mesh=mesh,
             raw_descriptor=cfg.reduction in ("none", "pca"),
         )
-        self.index = None if index is None else np.asarray(index, np.float32)
+        if index is None:
+            self.index = None
+        else:
+            import jax.numpy as jnp
+
+            # device-resident once; re-uploading per /search would ship the
+            # whole index host->device on every request
+            self.index = jnp.asarray(np.asarray(index, np.float32))
         self.mesh = mesh
+        # the dimensionality /embed actually returns (raw descriptor for
+        # none/pca reductions, reduced otherwise)
+        self.embed_dim = (
+            cfg.descriptor_dim if self.extractor.raw else cfg.output_dim
+        )
         self._lock = threading.Lock()
 
     def embed(self, images) -> np.ndarray:
@@ -77,7 +89,7 @@ class DescriptorService:
         from soft_contrastive_learning_tpu.ops.topk import topk_l2
 
         q = self.embed(images)
-        d, i = topk_l2(jnp.asarray(q), jnp.asarray(self.index), min(k, len(self.index)))
+        d, i = topk_l2(jnp.asarray(q), self.index, min(k, len(self.index)))
         return np.asarray(d), np.asarray(i)
 
 
@@ -101,7 +113,7 @@ def make_handler(service: DescriptorService):
                 self._send(200, {
                     "status": "ok",
                     "backend": jax.default_backend(),
-                    "dim": service.cfg.output_dim,
+                    "dim": service.embed_dim,
                 })
             else:
                 self._send(404, {"error": "not found"})
@@ -141,7 +153,8 @@ def make_handler(service: DescriptorService):
 
 
 def serve(service: DescriptorService, host: str = "127.0.0.1", port: int = 8377):
-    """Blocking server loop; returns the server object if port=0 tests want
-    to drive it on a background thread."""
+    """Construct (but do not start) the HTTP server; callers run
+    ``server.serve_forever()`` themselves — on the main thread (blocking, as
+    the CLI does) or a background thread (as the tests do)."""
     server = ThreadingHTTPServer((host, port), make_handler(service))
     return server

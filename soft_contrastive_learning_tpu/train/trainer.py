@@ -185,9 +185,12 @@ class Trainer:
 
     # ------------------------------------------------------------ mining
     def _mining_refresh(
-        self, epoch: int, step: int, mining_count: int, meta, anchor_indices
+        self, epoch: int, step: int, mining_count: int, meta, anchor_indices,
+        update_pca: bool = True,
     ) -> None:
-        """Reference train/train.py:1012-1068."""
+        """Reference train/train.py:1012-1068. ``update_pca=False`` rebuilds
+        only the mining cache — used on mid-segment resume, where the restored
+        streaming-PCA state already contains this window's update."""
         cfg = self.cfg
         n_meta = len(meta["t"])
         window = np.arange(
@@ -205,7 +208,7 @@ class Trainer:
         if self.pca is not None:
             if not self.pca.initialized:
                 self.pca.init(feats)
-            else:
+            elif update_pca:
                 self.pca.update_multi(feats, cfg.images_per_batch)
             feats = self.pca.whiten(feats).astype(np.float32)
 
@@ -407,7 +410,6 @@ class Trainer:
         seg_start = 0
         if resume_ctx is not None and resume_step0 >= 0:
             mining_count = int(resume_ctx["mining_count"])
-            in_seg = np.flatnonzero(steps <= resume_step0)
             # the segment containing resume_step0 starts at the last boundary
             # at or before it
             starts = np.flatnonzero(boundary_mask & (steps <= resume_step0))
@@ -421,7 +423,16 @@ class Trainer:
             if boundary_mask[seg_start]:
                 with self.timer.span("mining_refresh"):
                     self.log("Caching features for hard negative mining.")
-                    self._mining_refresh(epoch, step0, mining_count, meta, anchor_indices)
+                    # On mid-segment resume, the restored streaming-PCA state
+                    # was saved AFTER this boundary's update — rebuild the
+                    # cache but don't re-apply the PCA update.
+                    is_resume_segment = (
+                        resume_ctx is not None and step0 <= resume_step0
+                    )
+                    self._mining_refresh(
+                        epoch, step0, mining_count, meta, anchor_indices,
+                        update_pca=not is_resume_segment,
+                    )
                 mining_count += 1
             later = np.flatnonzero(boundary_mask[seg_start + 1 :])
             seg_end = seg_start + 1 + (int(later[0]) if len(later) else len(steps))
@@ -612,6 +623,11 @@ class Trainer:
         return True
 
     def close(self) -> None:
+        if self._profiling:  # training ended before the trace window closed
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            self._profiling = False
         self.ckpts.wait()
         self.ckpts.close()
         self._pool.shutdown(wait=False)
