@@ -151,6 +151,36 @@ def test_mid_epoch_exact_resume(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_resume_does_not_double_count_pca(tmp_path):
+    """Mid-segment resume must not re-apply the mining window's streaming-PCA
+    update that the restored state already contains: the resumed run's final
+    PCA state must match the uninterrupted run's."""
+    def cfg():
+        return _cfg("triplet", reduction="pca", tuples_per_batch=1,
+                    mining_step=6, mining_cache_size=6, save_step=6,
+                    eval_step=10**9)
+
+    tr_a = Trainer(cfg(), _source(), out_dir=str(tmp_path / "a"))
+    tr_a._run_eval = lambda *a, **k: None
+    tr_a.train()
+    tr_a.ckpts.wait()
+
+    tr_b = Trainer(cfg(), _source(), out_dir=str(tmp_path / "a"))
+    tr_b._run_eval = lambda *a, **k: None
+    assert tr_b.resume_latest("part")
+    seen_at_resume = tr_b.pca.seen
+    tr_b.train()
+    assert tr_b.global_step == tr_a.global_step
+    # identical effective sample counts and statistics
+    np.testing.assert_allclose(tr_b.pca.seen, tr_a.pca.seen, rtol=1e-6)
+    np.testing.assert_allclose(tr_b.pca.true_seen, tr_a.pca.true_seen, rtol=1e-6)
+    np.testing.assert_allclose(tr_b.pca.m, tr_a.pca.m, atol=1e-4)
+    assert tr_b.pca.seen > seen_at_resume  # per-step updates continued
+    tr_a.close()
+    tr_b.close()
+
+
+@pytest.mark.slow
 def test_eval_artifacts_with_plots(tmp_path):
     cfg = _cfg("triplet", eval_step=6, save_step=10**9, num_eval_queries=3)
     tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"), save_plots=True)
