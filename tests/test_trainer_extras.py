@@ -91,9 +91,9 @@ def test_mining_cadence_with_nondividing_batch(tmp_path):
     refreshed_at = []
     orig = tr._mining_refresh
 
-    def spy(epoch, step, count, meta, anchors):
+    def spy(epoch, step, count, meta, anchors, **kw):
         refreshed_at.append(step)
-        return orig(epoch, step, count, meta, anchors)
+        return orig(epoch, step, count, meta, anchors, **kw)
 
     tr._mining_refresh = spy
     tr.train_one_epoch(0)
