@@ -161,6 +161,11 @@ class TrainConfig:
     optimizer: str = "adam"
     dropout_keep_prob: float = 0.5  # reference train/train.py:273
     forgetting_factor: float = 0.4  # incremental-PCA 'f' flag
+    # Streaming-PCA updates on a worker thread, overlapped with device steps
+    # (the reference's P1 PCA threads, train/train.py:312-357) with
+    # deterministic lag-2 feeds; False = synchronous lag-1 updates on the
+    # training loop (round-1 behavior). See pca/async_updater.py.
+    async_pca: bool = True
 
     # Mining / eval cadence
     mining_step: int = 250

@@ -46,6 +46,7 @@ from soft_contrastive_learning_tpu.losses.registry import build_loss
 from soft_contrastive_learning_tpu.models.model import create_model, init_params
 from soft_contrastive_learning_tpu.ops.topk import topk_l2
 from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
+from soft_contrastive_learning_tpu.pca.async_updater import AsyncPCAUpdater
 from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
 from soft_contrastive_learning_tpu.sampling.mining import MiningCache
 from soft_contrastive_learning_tpu.sampling.tuples import TupleSampler
@@ -129,6 +130,7 @@ class Trainer:
         self.start_epoch = 0
         self._current_epoch = 0
         self._seg_ctx = None  # live segment position for mid-epoch checkpoints
+        self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
         # jax.profiler trace of the first N steps (SURVEY.md §5 tracing:
@@ -143,19 +145,37 @@ class Trainer:
             get_xy(meta), get_yaw(meta), rng=rng if rng is not None else self.rng,
         )
 
-    def _augment_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """Attach the current streaming-PCA states (the reference's
-        v/m/var and l_s/l_v/l_m/l_seen placeholder feeds,
-        train/train.py:277-283)."""
-        if self.pca is not None and self.pca.initialized:
-            batch["pca_components"] = self.pca.v
-            batch["pca_mean"] = self.pca.m
-            batch["pca_variance"] = self.pca.var
-        if self.loss_pca is not None and self.loss_pca.initialized:
-            batch["loss_pca_s"] = self.loss_pca.s
-            batch["loss_pca_v"] = self.loss_pca.v
-            batch["loss_pca_m"] = self.loss_pca.m
-            batch["loss_pca_seen"] = np.float32(self.loss_pca.seen)
+    def _augment_batch(
+        self, batch: Dict[str, np.ndarray], snaps=None
+    ) -> Dict[str, np.ndarray]:
+        """Attach the streaming-PCA states (the reference's v/m/var and
+        l_s/l_v/l_m/l_seen placeholder feeds, train/train.py:277-283).
+
+        ``snaps`` is an (pca_sd, loss_pca_sd) snapshot pair from the async
+        updater (deterministic lag-2 view); without it the live objects are
+        read (synchronous mode / eval paths after a drain)."""
+        if snaps is not None:
+            pca_sd, loss_sd = snaps
+        else:
+            pca_sd = (
+                self.pca.state_dict()
+                if self.pca is not None and self.pca.initialized
+                else None
+            )
+            loss_sd = (
+                self.loss_pca.state_dict()
+                if self.loss_pca is not None and self.loss_pca.initialized
+                else None
+            )
+        if pca_sd is not None:
+            batch["pca_components"] = pca_sd["v"]
+            batch["pca_mean"] = pca_sd["m"]
+            batch["pca_variance"] = pca_sd["var"]
+        if loss_sd is not None:
+            batch["loss_pca_s"] = loss_sd["s"]
+            batch["loss_pca_v"] = loss_sd["v"]
+            batch["loss_pca_m"] = loss_sd["m"]
+            batch["loss_pca_seen"] = np.float32(loss_sd["seen"])
         return batch
 
     def extract_features(
@@ -460,6 +480,11 @@ class Trainer:
                     anchors = pad_to_multiple(anchors, cfg.tuples_per_batch)
                 return sampler.sample(anchors, use_hard=True, cache=self.mining_cache)
 
+            updater = None
+            if cfg.async_pca and (self.pca is not None or self.loss_pca is not None):
+                updater = AsyncPCAUpdater(self.pca, self.loss_pca)
+            self._updater = updater
+
             offset = 0
             if skip_items > 0:
                 # replay the sampler draws of already-trained batches (no
@@ -482,7 +507,8 @@ class Trainer:
                 return batch, sample.used_indices
 
             consumed = 0
-            for item in Prefetcher(build, len(seg_steps) - offset):
+            try:
+              for item in Prefetcher(build, len(seg_steps) - offset):
                 abs_step = int(seg_steps[offset + consumed])
                 consumed += 1
                 # items fully processed so far (the current one re-trains on
@@ -493,6 +519,8 @@ class Trainer:
                 if side_effects and abs_step % cfg.eval_step == 0:
                     self._run_eval(epoch)
                 if side_effects and abs_step % cfg.save_step == 0:
+                    if updater is not None:
+                        updater.drain()
                     self.ckpts.save(
                         "part", self.global_step, self.state,
                         self._pca_sd(), self._loss_pca_sd(), self._extras(),
@@ -507,7 +535,10 @@ class Trainer:
                     jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
                     self._profiling = True
                 with self.timer.span("train_step"):
-                    device_batch = shard_batch(self._augment_batch(batch), self.mesh)
+                    snaps = updater.feed_states() if updater is not None else None
+                    device_batch = shard_batch(
+                        self._augment_batch(batch, snaps), self.mesh
+                    )
                     self.state, metrics = self.train_step(self.state, device_batch)
                     loss = float(metrics["loss"])
                 self.used_images.update(used)
@@ -527,10 +558,18 @@ class Trainer:
                     self.global_step,
                 )
                 with self.timer.span("pca_update"):
-                    if self.pca is not None and "pca_in" in metrics:
-                        self.pca.update(np.asarray(metrics["pca_in"]))
-                    if self.loss_pca is not None and "loss_pca_in" in metrics:
-                        self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
+                    has_in = ("pca_in" in metrics) or ("loss_pca_in" in metrics)
+                    if updater is not None and has_in:
+                        # async: the worker fetches + applies while the
+                        # device runs the next step (deterministic lag-2)
+                        updater.submit(
+                            metrics.get("pca_in"), metrics.get("loss_pca_in")
+                        )
+                    elif updater is None:
+                        if self.pca is not None and "pca_in" in metrics:
+                            self.pca.update(np.asarray(metrics["pca_in"]))
+                        if self.loss_pca is not None and "loss_pca_in" in metrics:
+                            self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
                 self._seg_ctx["consumed"] = offset + consumed
                 if self._profiling and self.global_step >= self._profile_steps:
                     import jax.profiler
@@ -538,11 +577,20 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self._profiling = False
                     self._profile_steps = 0
+            finally:
+                if updater is not None:
+                    updater.close()
+                self._updater = None
             seg_start = seg_end
         self._seg_ctx = None
 
     def _run_eval(self, epoch: int) -> None:
         self.log("EVALUATING")
+        if self._updater is not None:
+            # Checkpoint/eval reads of the live PCA objects need every
+            # submitted update applied (this also floors subsequent feeds,
+            # keeping resumed and uninterrupted feed sequences identical).
+            self._updater.drain()
         gs = self.global_step
         self.ckpts.save(
             "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
