@@ -384,6 +384,26 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Descriptor parity vs a converted reference TF1 checkpoint
+    (PARITY.md layer 2; reference restore contract train/train.py:882-905)."""
+    import json
+
+    from soft_contrastive_learning_tpu.evaluation.parity import run_parity
+
+    report = run_parity(
+        checkpoint=args.checkpoint,
+        images=args.images,
+        golden=args.golden,
+        out=args.out,
+        tolerance=args.tolerance,
+    )
+    print(json.dumps(report.to_dict(), indent=1))
+    if report.passed is False:
+        return 1
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="scl-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -458,6 +478,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("bench", help="embedding-throughput benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser(
+        "parity",
+        help="descriptor parity vs a converted reference TF1 checkpoint",
+    )
+    p.add_argument("--checkpoint", required=True,
+                   help="TF1 checkpoint export (.npz of {tf_name: array})")
+    p.add_argument("--images", required=True,
+                   help="image directory or newline-separated list file")
+    p.add_argument("--golden", default=None,
+                   help=".npz with reference 'descriptors' for the same images")
+    p.add_argument("--out", default=None,
+                   help="write our descriptors (.npz) for offline comparison")
+    p.add_argument("--tolerance", type=float, default=1e-3,
+                   help="max-abs descriptor tolerance for pass/fail")
+    p.set_defaults(func=cmd_parity)
 
     args = parser.parse_args(argv)
     return args.func(args)
