@@ -12,6 +12,8 @@ with a single scalar fetch at the end; compile/warmup excluded.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -58,17 +60,29 @@ def measure(batch_size: int, iters: int, use_pallas: bool) -> float:
 
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and os.environ.get("SCL_BENCH_REQUIRE_TPU"):
+        raise SystemExit(
+            f"benchmark requires the TPU backend, got {jax.default_backend()!r}"
+        )
     best = 0.0
     config = None
-    batch_sizes = (256,) if on_tpu else (8,)
+    batch_sizes = (256, 512) if on_tpu else (8,)
     iters = 40 if on_tpu else 2
+    errors = []
     for bs in batch_sizes:
         try:
             rate = measure(bs, iters, use_pallas=on_tpu)
-        except Exception:
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
+            # An OOM at a large batch is an acceptable sweep outcome; anything
+            # else must surface rather than silently reporting a smaller run.
+            errors.append(f"bs={bs}: {type(e).__name__}: {str(e)[:200]}")
             continue
         if rate > best:
             best, config = rate, bs
+    if best == 0.0:
+        raise SystemExit("all benchmark configs failed:\n" + "\n".join(errors))
+    if errors:
+        print(f"# skipped configs: {errors}", file=sys.stderr)
     print(
         json.dumps(
             {

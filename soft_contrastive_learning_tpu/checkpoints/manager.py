@@ -50,15 +50,40 @@ def numpy_rng_from_array(buf: np.ndarray) -> np.random.Generator:
 class RunCheckpoints:
     ROLES = ("rolling", "epoch", "part")
 
-    def __init__(self, out_dir: str, max_to_keep: int = 1):
+    def __init__(self, out_dir: str, max_to_keep: int = 1, enabled: bool = True):
+        """``enabled=False`` (non-primary processes in a multi-host run) makes
+        ``save``/``wait`` no-ops; ``restore``/``latest`` still work — every
+        process re-reads the shared checkpoint on resume, only the elected
+        primary writes it (state is replicated in this framework: only the
+        batch axis is sharded, so a primary-only write is complete)."""
         self.out_dir = out_dir
+        self.enabled = enabled
+        self._max_to_keep = max_to_keep
         self._mgrs: Dict[str, ocp.CheckpointManager] = {}
-        for role in self.ROLES:
-            keep = max_to_keep if role == "rolling" else None  # None = unbounded
+
+    def _mgr(self, role: str) -> ocp.CheckpointManager:
+        if role not in self._mgrs:
+            keep = self._max_to_keep if role == "rolling" else None  # None = unbounded
+            opts = dict(max_to_keep=keep)
+            root = os.path.abspath(os.path.join(self.out_dir, "checkpoints", role))
+            if jax.process_count() > 1:
+                # orbax cannot create=True under active_processes; the shared
+                # filesystem root is made here instead.
+                os.makedirs(root, exist_ok=True)
+                opts["create"] = False
+                # Scope orbax's barriers to this process alone: saves happen
+                # on the primary only and restores are independent reads, so
+                # no cross-process sync is needed (and syncing would deadlock
+                # the primary-only save).
+                opts["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                    primary_host=jax.process_index(),
+                    active_processes={jax.process_index()},
+                    barrier_sync_key_prefix=f"scl_p{jax.process_index()}",
+                )
             self._mgrs[role] = ocp.CheckpointManager(
-                os.path.abspath(os.path.join(out_dir, "checkpoints", role)),
-                options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+                root, options=ocp.CheckpointManagerOptions(**opts)
             )
+        return self._mgrs[role]
 
     @staticmethod
     def _payload(
@@ -90,15 +115,18 @@ class RunCheckpoints:
         loss_pca_state: Optional[dict] = None,
         extras: Optional[dict] = None,
     ) -> None:
+        if not self.enabled:
+            return
         payload = self._payload(train_state, pca_state, loss_pca_state, extras)
-        self._mgrs[role].save(int(step), args=ocp.args.StandardSave(payload))
+        payload = jax.tree_util.tree_map(np.asarray, payload)
+        self._mgr(role).save(int(step), args=ocp.args.StandardSave(payload))
 
     def wait(self) -> None:
         for mgr in self._mgrs.values():
             mgr.wait_until_finished()
 
     def latest(self, role: str = "rolling") -> Optional[int]:
-        return self._mgrs[role].latest_step()
+        return self._mgr(role).latest_step()
 
     def restore(
         self, role: str, step: int, like_state, like_pca=None,
@@ -110,7 +138,7 @@ class RunCheckpoints:
 
         template = self._payload(like_state, like_pca, like_loss_pca, like_extras)
         template["rng"] = np.asarray(template["rng"])
-        restored = self._mgrs[role].restore(
+        restored = self._mgr(role).restore(
             int(step), args=ocp.args.StandardRestore(template)
         )
         state = TrainState(

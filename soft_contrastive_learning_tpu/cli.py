@@ -345,6 +345,14 @@ def cmd_metrics(args) -> int:
                 plt.title(f"{role}/{tag}")
                 safe = tag.replace("/", "_").replace("%", "pct").replace("<", "lt")
                 plt.savefig(os.path.join(args.run_dir, f"metric_{role}_{safe}.pdf"))
+    if getattr(args, "tb_export", False):
+        from soft_contrastive_learning_tpu.core.tb_export import export_run
+
+        counts = export_run(args.run_dir)
+        for role, n in counts.items():
+            print(f"[tb] wrote {n} scalars -> {args.run_dir}/tb/{role}")
+        if not counts:
+            print("no metrics found to export")
     if not summary:
         print("no metrics found")
         return 1
@@ -463,6 +471,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("metrics", help="summarize/plot a run's JSONL metrics")
     p.add_argument("--run_dir", required=True)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--tb-export", dest="tb_export", action="store_true",
+                   help="write TensorBoard event files (run_dir/tb/{role}) "
+                        "from the JSONL metrics")
     p.set_defaults(func=cmd_metrics)
 
     p = sub.add_parser("serve", help="HTTP descriptor-embedding service")

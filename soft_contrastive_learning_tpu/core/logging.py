@@ -50,13 +50,16 @@ class RunLogger:
 class MetricsWriter:
     """Scalar metrics as JSONL: {"step": int, "tag": str, "value": float, "t": unix}."""
 
-    def __init__(self, out_dir: str, role: str = "local"):
+    def __init__(self, out_dir: str, role: str = "local", enabled: bool = True):
         os.makedirs(out_dir, exist_ok=True)
         self.role = role
+        self.enabled = enabled  # False on non-primary multi-host processes
         self._path = os.path.join(out_dir, f"metrics_{role}.jsonl")
         self._lock = threading.Lock()
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "tag": tag, "value": float(value), "t": time.time()}
         with self._lock:
             with open(self._path, "a") as f:

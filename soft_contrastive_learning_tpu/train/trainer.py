@@ -56,6 +56,7 @@ from soft_contrastive_learning_tpu.train.step import (
     build_train_step,
     init_train_state,
 )
+from soft_contrastive_learning_tpu.launch.multihost import is_primary
 from soft_contrastive_learning_tpu.evaluation.metrics import (
     localization_summary,
     save_curve_plot,
@@ -92,15 +93,23 @@ class Trainer:
         self.save_plots = save_plots
         self.out_dir = out_dir or cfg.out_dir or "."
         os.makedirs(self.out_dir, exist_ok=True)
-        cfg.save(os.path.join(self.out_dir, "config.json"))
+        # Writer election: in a multi-host run only process 0 writes
+        # checkpoints/metrics/config — state is replicated (batch-only
+        # sharding), so the primary's copy is complete (launch/multihost.py).
+        self.primary = is_primary()
+        self.save_plots = save_plots and self.primary
+        if self.primary:
+            cfg.save(os.path.join(self.out_dir, "config.json"))
 
-        self.log = RunLogger(self.out_dir)
+        self.log = RunLogger(self.out_dir if self.primary else None)
         self.writers = {
-            "local": MetricsWriter(self.out_dir, "local"),
-            "other": MetricsWriter(self.out_dir, "other"),
+            "local": MetricsWriter(self.out_dir, "local", enabled=self.primary),
+            "other": MetricsWriter(self.out_dir, "other", enabled=self.primary),
         }
         self.timer = StepTimer()
-        self.ckpts = RunCheckpoints(self.out_dir, max_to_keep=cfg.max_to_keep)
+        self.ckpts = RunCheckpoints(
+            self.out_dir, max_to_keep=cfg.max_to_keep, enabled=self.primary
+        )
 
         self.model = create_model(cfg.model)
         params = init_params(cfg.model, jax.random.key(cfg.seed), batch=1)

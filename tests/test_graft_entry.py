@@ -45,6 +45,7 @@ def test_dryrun_multichip_driver_invocation():
     assert "sharded-topk ok" in out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process(mesh8):
     """When the calling process already has >= n devices (pytest's 8-CPU
     mesh), the dryrun runs in-process without a re-exec."""

@@ -47,6 +47,7 @@ def test_calibration_covers_all_convs():
     assert all(s > 0 for s in scales.values())
 
 
+@pytest.mark.slow
 def test_descriptor_cosine_parity():
     cfg, model, params, x = _setup()
     ref, ref_full = model.apply({"params": params}, x)
@@ -62,6 +63,7 @@ def test_descriptor_cosine_parity():
     assert out.shape == ref.shape
 
 
+@pytest.mark.slow
 def test_topk_retrieval_parity():
     """The quantized embeddings retrieve the same nearest neighbors."""
     cfg, model, params, _ = _setup()
@@ -81,6 +83,7 @@ def test_topk_retrieval_parity():
     np.testing.assert_array_equal(nn_idx(f_q, f_ref)[:, 0], nn_idx(q_q, q_ref)[:, 0])
 
 
+@pytest.mark.slow
 def test_grayscale_and_spp_and_fc_variants():
     # spp needs a conv5_3 map of at least 4x4 for the level-3 pyramid
     for reduction, vlad, hw in (("spp", 0, (96, 128)), ("1fc", 8, (48, 64))):

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from soft_contrastive_learning_tpu.losses.ms import wms_loss
@@ -32,6 +33,7 @@ def test_wms_pallas_matches_xla(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_wms_fused_gradients_match(rng):
     geo, emb = _data(rng, b=8, d=32)
     g_fused = jax.grad(lambda e: wms_loss_fused(geo, e, 0.8, 15.0), 0)(emb)
