@@ -58,6 +58,11 @@ class ModelConfig:
     param_dtype: str = "float32"
     use_pallas: bool = True  # fused Pallas NetVLAD aggregation on TPU
     remat: bool = False  # jax.checkpoint the conv stack to trade FLOPs for HBM
+    # Fused Winograd F(2x2,3x3) conv kernels for the >=64-channel convs:
+    # 2.25x fewer MXU multiplies at direct-conv HBM traffic — the algorithmic
+    # route past the bf16 roofline (ops/pallas/winograd_kernel.py). Applies to
+    # the forward pass (gradients fall back to direct-conv vjp).
+    winograd: bool = False
     # Exact packed-width block1 rewrite (ops/packed_stem.py). The packed conv
     # alone is ~1.5x faster on the MXU, but measured END TO END on v5e the
     # pack/repack data movement loses more than the matmul wins (5.9k -> 3.8k

@@ -22,7 +22,7 @@ import numpy as np
 from soft_contrastive_learning_tpu.ops.topk import (
     topk_l2,
     topk_l2_sharded,
-    topk_l2_tiled,
+    topk_l2_streamed,
 )
 
 # Above this many reference rows, retrieval streams over HBM tiles instead of
@@ -81,7 +81,8 @@ def top_n_single(
             jnp.asarray(query_features), jnp.asarray(sub_refs), n, mesh
         )
     elif len(sub_refs) > _TILED_THRESHOLD:
-        top_f, top_i = topk_l2_tiled(
+        # Pallas streaming kernel on TPU, lax.scan tiling elsewhere.
+        top_f, top_i = topk_l2_streamed(
             jnp.asarray(query_features), jnp.asarray(sub_refs), n
         )
     else:

@@ -49,6 +49,7 @@ class EmbeddingNet(nn.Module):
             param_dtype=param_dtype,
             remat=cfg.remat,
             packed_stem=cfg.packed_stem,
+            winograd=cfg.winograd,
             name="vgg16",
         )(images)
 

@@ -83,26 +83,45 @@ class _PackedStem(nn.Module):
 
 
 class _ConvBlock(nn.Module):
-    """One VGG block: a sequence of 3x3 convs (ReLU on all but the last)."""
+    """One VGG block: a sequence of 3x3 convs (ReLU on all but the last).
+
+    With ``winograd=True``, convs whose input has >=64 channels run through
+    the fused Pallas Winograd F(2x2,3x3) kernel (2.25x fewer MXU multiplies,
+    ops/pallas/winograd_kernel.py); parameters keep nn.Conv's tree paths so
+    checkpoints are interchangeable. conv1_1/conv1_2 (<128 input channels)
+    stay direct convs: Mosaic needs lane-aligned DMA extents, and conv1_2 is
+    ~40% HBM-bound anyway."""
 
     specs: Sequence[Tuple[str, int, bool]]
     compute_dtype: Any
     param_dtype: Any
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for name, feats, relu in self.specs:
-            x = nn.Conv(
-                features=feats,
-                kernel_size=(3, 3),
-                strides=(1, 1),
-                padding="SAME",
-                dtype=self.compute_dtype,
-                param_dtype=self.param_dtype,
-                name=name,
-            )(x)
-            if relu:
-                x = jax.nn.relu(x)
+            if self.winograd and x.shape[-1] % 128 == 0:
+                from soft_contrastive_learning_tpu.ops.pallas.winograd_kernel import (
+                    winograd_conv,
+                )
+
+                k, b = _ConvParams(
+                    x.shape[-1], feats, self.param_dtype, name=name
+                )()
+                dt = self.compute_dtype
+                x = winograd_conv(x.astype(dt), k, b, relu)
+            else:
+                x = nn.Conv(
+                    features=feats,
+                    kernel_size=(3, 3),
+                    strides=(1, 1),
+                    padding="SAME",
+                    dtype=self.compute_dtype,
+                    param_dtype=self.param_dtype,
+                    name=name,
+                )(x)
+                if relu:
+                    x = jax.nn.relu(x)
         return x
 
 
@@ -118,6 +137,7 @@ class VGG16(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     packed_stem: bool = False  # exact packed-width block1 (ops/packed_stem.py)
+    winograd: bool = False  # fused Pallas Winograd convs for >=64-ch layers
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -154,6 +174,7 @@ class VGG16(nn.Module):
                 specs=specs,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
+                winograd=self.winograd,
                 name=f"block{bi + 1}",
             )(x)
             if bi < num_blocks - 1:

@@ -82,6 +82,26 @@ def topk_l2_tiled(
     return jnp.sqrt(jnp.maximum(-best_d, 0.0)), best_i
 
 
+def topk_l2_streamed(
+    queries: jnp.ndarray,
+    refs: jnp.ndarray,
+    k: int,
+    tile: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded top-k for large HBM-resident indexes: the fused Pallas
+    streaming kernel on TPU (grid steps are ~us; a lax.scan iteration costs
+    ~0.5 ms on this runtime — docs/SPEEDLIGHT.md), the lax.scan tiling
+    elsewhere (and for k > 128, which the kernel's lane-aligned running-best
+    buffer cannot hold)."""
+    if jax.default_backend() == "tpu" and k <= 128:
+        from soft_contrastive_learning_tpu.ops.pallas.topk_kernel import (
+            topk_l2_pallas,
+        )
+
+        return topk_l2_pallas(queries, refs, k, tile=tile)
+    return topk_l2_tiled(queries, refs, k, tile=max(tile, 4096))
+
+
 def topk_l2_sharded(
     queries: jnp.ndarray,
     refs: jnp.ndarray,
