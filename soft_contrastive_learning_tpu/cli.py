@@ -359,6 +359,50 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_quant(args) -> int:
+    """Calibrate int8 PTQ activation scales (models/quant.py) from sample
+    images and write them as JSON for `scl-tpu serve --quant_scales`."""
+    import jax
+    import numpy as np
+
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.models.model import init_params
+    from soft_contrastive_learning_tpu.models.quant import (
+        calibrate_scales,
+        save_scales,
+    )
+    from soft_contrastive_learning_tpu.utils.cv import normalize_geometry
+    from soft_contrastive_learning_tpu.utils.io import load_img
+
+    cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
+                      out_dim=args.out_dim)
+    params = init_params(cfg, jax.random.key(0))
+    if args.checkpoint.endswith(".npz"):
+        from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
+        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
+
+        donor, _ = convert_checkpoint(args.checkpoint)
+        params, _ = warm_start_params(params, donor)
+
+    names = sorted(os.listdir(args.image_dir))[: args.num_images]
+    if not names:
+        print(f"no images in {args.image_dir}")
+        return 1
+    imgs = np.stack([
+        normalize_geometry(
+            load_img(os.path.join(args.image_dir, n)),
+            cfg.image_height, cfg.image_width,
+            keep_aspect=cfg.vlad_cores > 0,
+        )
+        for n in names
+    ]).astype(np.float32)
+    scales = calibrate_scales(params, imgs)
+    save_scales(scales, args.out)
+    print(f"calibrated {len(scales)} conv scales from {len(imgs)} images "
+          f"-> {args.out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     import jax
 
@@ -377,8 +421,13 @@ def cmd_serve(args) -> int:
         donor, _ = convert_checkpoint(args.checkpoint)
         params, _ = warm_start_params(params, donor)
     index = np.asarray(load_pickle(args.index)) if args.index else None
+    quant_scales = None
+    if args.quant_scales:
+        from soft_contrastive_learning_tpu.models.quant import load_scales
+
+        quant_scales = load_scales(args.quant_scales)
     service = DescriptorService(cfg, params, batch_size=args.batch_size,
-                                index=index)
+                                index=index, quant_scales=quant_scales)
     server = serve(service, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     server.serve_forever()
@@ -476,6 +525,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "from the JSONL metrics")
     p.set_defaults(func=cmd_metrics)
 
+    p = sub.add_parser("quant", help="calibrate int8 PTQ activation scales")
+    p.add_argument("--checkpoint", default="", help="npz TF1 export (optional)")
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--num_images", type=int, default=32)
+    p.add_argument("--out", required=True, help="output scales JSON")
+    p.add_argument("--vlad_cores", type=int, default=64)
+    p.add_argument("--reduction", default="none")
+    p.add_argument("--out_dim", type=int, default=512)
+    p.set_defaults(func=cmd_quant)
+
     p = sub.add_parser("serve", help="HTTP descriptor-embedding service")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--index", default="", help="feature pickle to serve /search from")
@@ -485,6 +544,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8377)
+    p.add_argument("--quant_scales", default="",
+                   help="JSON of int8 PTQ activation scales (scl-tpu quant "
+                        "calibration output) — serve with the int8 conv stack")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("bench", help="embedding-throughput benchmark")

@@ -37,6 +37,7 @@ class DescriptorExtractor:
         mesh=None,
         portrait: bool = False,
         raw_descriptor: bool = True,
+        quant_scales=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -46,10 +47,21 @@ class DescriptorExtractor:
         self.raw = raw_descriptor
         self._model = create_model(cfg)
         self._pool = ThreadPoolExecutor(max_workers=8)
-        # Same jitted embed as the trainer (train/step.py::build_embed_step).
-        from soft_contrastive_learning_tpu.train.step import build_embed_step
+        if quant_scales is not None:
+            # int8 post-training-quantized conv stack (models/quant.py);
+            # same (output, full) contract as the float embed step.
+            import jax as _jax
 
-        self._embed = build_embed_step(cfg, self._model)
+            from soft_contrastive_learning_tpu.models.quant import quantized_embed
+
+            self._embed = _jax.jit(
+                lambda p, x: quantized_embed(cfg, p, quant_scales, x)
+            )
+        else:
+            # Same jitted embed as the trainer (train/step.py::build_embed_step).
+            from soft_contrastive_learning_tpu.train.step import build_embed_step
+
+            self._embed = build_embed_step(cfg, self._model)
 
     def extract_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         prepared = [

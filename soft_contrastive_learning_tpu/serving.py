@@ -55,11 +55,13 @@ class DescriptorService:
         batch_size: int = 16,
         index: Optional[np.ndarray] = None,  # (R, D) descriptor index
         mesh=None,
+        quant_scales=None,  # int8 PTQ activation scales (models/quant.py)
     ):
         self.cfg = cfg
         self.extractor = DescriptorExtractor(
             cfg, params, batch_size=batch_size, mesh=mesh,
             raw_descriptor=cfg.reduction in ("none", "pca"),
+            quant_scales=quant_scales,
         )
         if index is None:
             self.index = None
@@ -86,10 +88,16 @@ class DescriptorService:
             raise ValueError("no retrieval index loaded")
         import jax.numpy as jnp
 
-        from soft_contrastive_learning_tpu.ops.topk import topk_l2
+        from soft_contrastive_learning_tpu.ops.topk import topk_l2, topk_l2_streamed
 
         q = self.embed(images)
-        d, i = topk_l2(jnp.asarray(q), self.index, min(k, len(self.index)))
+        k_eff = min(k, len(self.index))
+        if len(self.index) > 65536 and k_eff <= 128:
+            # large index: stream tiles (Pallas on TPU) instead of
+            # materializing the (Q, R) distance matrix
+            d, i = topk_l2_streamed(jnp.asarray(q), self.index, k_eff)
+        else:
+            d, i = topk_l2(jnp.asarray(q), self.index, k_eff)
         return np.asarray(d), np.asarray(i)
 
 
