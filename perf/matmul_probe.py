@@ -72,7 +72,7 @@ def probe(name, bm, m, k, n, mode):
         )
 
         def f(aa, bb, carry):
-            o = fn(aa + carry.astype(jnp.bfloat16) * 0, bb)
+            o = fn(aa + (carry * 1e-30).astype(jnp.bfloat16), bb)
             return o[0, 0, 0]
         return f
 

@@ -125,7 +125,7 @@ def run(stage, B, h, w, c, f, trows, ipc, iters=20):
 
     def many(xx, uu):
         def body(carry, _):
-            o = fn(uu, xx + carry.astype(jnp.bfloat16) * 0)
+            o = fn(uu, xx + (carry * 1e-30).astype(jnp.bfloat16))
             return o.reshape(-1)[0].astype(jnp.float32), ()
         cc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return cc

@@ -383,8 +383,20 @@ def cmd_quant(args) -> int:
 
         donor, _ = convert_checkpoint(args.checkpoint)
         params, _ = warm_start_params(params, donor)
+    elif not args.allow_random:
+        # Scales calibrated on random weights are wrong for any real model;
+        # refuse unless the caller explicitly asks (smoke tests).
+        print("error: --checkpoint (npz) required; scales calibrated on "
+              "randomly initialized weights would silently mis-quantize a "
+              "real model. Pass --allow_random to override for smoke tests.")
+        return 1
 
-    names = sorted(os.listdir(args.image_dir))[: args.num_images]
+    from soft_contrastive_learning_tpu.evaluation.parity import IMAGE_EXTENSIONS
+
+    names = sorted(
+        n for n in os.listdir(args.image_dir)
+        if os.path.splitext(n)[1].lower() in IMAGE_EXTENSIONS
+    )[: args.num_images]
     if not names:
         print(f"no images in {args.image_dir}")
         return 1
@@ -530,6 +542,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--image_dir", required=True)
     p.add_argument("--num_images", type=int, default=32)
     p.add_argument("--out", required=True, help="output scales JSON")
+    p.add_argument("--allow_random", action="store_true",
+                   help="permit calibration without a checkpoint (smoke only)")
     p.add_argument("--vlad_cores", type=int, default=64)
     p.add_argument("--reduction", default="none")
     p.add_argument("--out_dim", type=int, default=512)

@@ -58,10 +58,12 @@ class ModelConfig:
     param_dtype: str = "float32"
     use_pallas: bool = True  # fused Pallas NetVLAD aggregation on TPU
     remat: bool = False  # jax.checkpoint the conv stack to trade FLOPs for HBM
-    # Fused Winograd F(2x2,3x3) conv kernels for the >=64-channel convs:
-    # 2.25x fewer MXU multiplies at direct-conv HBM traffic — the algorithmic
-    # route past the bf16 roofline (ops/pallas/winograd_kernel.py). Applies to
-    # the forward pass (gradients fall back to direct-conv vjp).
+    # Fused Winograd F(2x2,3x3) conv kernels for convs whose INPUT channel
+    # count is a multiple of 128 (blocks 2-5 except conv2_1; Mosaic needs
+    # lane-aligned DMA extents): 2.25x fewer MXU multiplies at direct-conv
+    # HBM traffic (ops/pallas/winograd_kernel.py). Forward only (gradients
+    # fall back to the direct-conv vjp). Off by default: measured slower on
+    # this chip due to the Pallas matmul ceiling — docs/SPEEDLIGHT.md.
     winograd: bool = False
     # Exact packed-width block1 rewrite (ops/packed_stem.py). The packed conv
     # alone is ~1.5x faster on the MXU, but measured END TO END on v5e the

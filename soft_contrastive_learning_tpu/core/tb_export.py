@@ -145,7 +145,15 @@ class EventFileWriter:
 
 def export_jsonl(jsonl_path: str, log_dir: str) -> int:
     """Convert one metrics_{role}.jsonl file into an event file under
-    ``log_dir``. Returns the number of scalar points written."""
+    ``log_dir``. Returns the number of scalar points written.
+
+    Prior exports in ``log_dir`` are removed first: TensorBoard concatenates
+    every event file in a run directory, so re-exporting into the same dir
+    would double every point."""
+    if os.path.isdir(log_dir):
+        for name in os.listdir(log_dir):
+            if name.startswith("events.out.tfevents."):
+                os.remove(os.path.join(log_dir, name))
     writer = EventFileWriter(log_dir)
     n = 0
     with open(jsonl_path) as f:

@@ -167,7 +167,12 @@ def quantized_embed(
     cfg: ModelConfig, params, scales: Dict[str, float], images: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full quantized forward: (output, full_out), same contract as
-    EmbeddingNet.__call__ (models/model.py)."""
+    EmbeddingNet.__call__ (models/model.py).
+
+    NOTE: this mirrors EmbeddingNet's head assembly (spp/netvlad/fc/none
+    branches and the output/full_out coupling) by hand — any change to
+    models/model.py:36-85 must be reflected here; tests/test_quant.py pins
+    the two paths against each other for the covered configurations."""
     fmap = quantized_conv_stack(params["vgg16"], scales, images)
     feat = l2_normalize(fmap, axis=-1)
     compute_dtype = jnp.dtype(cfg.compute_dtype)

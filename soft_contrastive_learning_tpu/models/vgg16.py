@@ -85,12 +85,13 @@ class _PackedStem(nn.Module):
 class _ConvBlock(nn.Module):
     """One VGG block: a sequence of 3x3 convs (ReLU on all but the last).
 
-    With ``winograd=True``, convs whose input has >=64 channels run through
-    the fused Pallas Winograd F(2x2,3x3) kernel (2.25x fewer MXU multiplies,
-    ops/pallas/winograd_kernel.py); parameters keep nn.Conv's tree paths so
-    checkpoints are interchangeable. conv1_1/conv1_2 (<128 input channels)
-    stay direct convs: Mosaic needs lane-aligned DMA extents, and conv1_2 is
-    ~40% HBM-bound anyway."""
+    With ``winograd=True``, convs whose input channel count is a multiple
+    of 128 run through the fused Pallas Winograd F(2x2,3x3) kernel (2.25x
+    fewer MXU multiplies, ops/pallas/winograd_kernel.py); parameters keep
+    nn.Conv's tree paths so checkpoints are interchangeable. conv1_1,
+    conv1_2, and conv2_1 (3/64/64 input channels) stay direct convs: Mosaic
+    needs lane-aligned (128) DMA extents, and the stem is substantially
+    HBM-bound anyway."""
 
     specs: Sequence[Tuple[str, int, bool]]
     compute_dtype: Any

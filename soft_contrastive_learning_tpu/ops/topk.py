@@ -82,6 +82,15 @@ def topk_l2_tiled(
     return jnp.sqrt(jnp.maximum(-best_d, 0.0)), best_i
 
 
+def _stream_tile_fit(d: int, q_chunk: int, budget: int = 8 * 1024 * 1024) -> int:
+    """Largest 512-aligned ref-tile size whose f32 working set (query block +
+    ref tile, both (*, d)) fits the VMEM budget; 0 if none does (e.g. the
+    32768-D raw-descriptor index, where one 512-row tile is already 64 MB)."""
+    fit = budget // (4 * d) - q_chunk
+    fit = (fit // 512) * 512
+    return fit if fit >= 512 else 0
+
+
 def topk_l2_streamed(
     queries: jnp.ndarray,
     refs: jnp.ndarray,
@@ -91,14 +100,28 @@ def topk_l2_streamed(
     """Memory-bounded top-k for large HBM-resident indexes: the fused Pallas
     streaming kernel on TPU (grid steps are ~us; a lax.scan iteration costs
     ~0.5 ms on this runtime — docs/SPEEDLIGHT.md), the lax.scan tiling
-    elsewhere (and for k > 128, which the kernel's lane-aligned running-best
-    buffer cannot hold)."""
+    elsewhere and whenever the kernel's VMEM working set would not fit
+    (k > 128, very high-dimensional refs, or huge query batches — e.g. the
+    32768-D raw-descriptor index, where a (2048, D) f32 ref tile alone is
+    256 MB)."""
     if jax.default_backend() == "tpu" and k <= 128:
         from soft_contrastive_learning_tpu.ops.pallas.topk_kernel import (
             topk_l2_pallas,
         )
 
-        return topk_l2_pallas(queries, refs, k, tile=tile)
+        d = refs.shape[1]
+        q_chunk = min(queries.shape[0], 512)
+        fit_tile = _stream_tile_fit(d, q_chunk)
+        if fit_tile:
+            use_tile = min(tile, fit_tile)
+            outs = [
+                topk_l2_pallas(queries[s : s + q_chunk], refs, k, tile=use_tile)
+                for s in range(0, queries.shape[0], q_chunk)
+            ]
+            return (
+                jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]),
+            )
     return topk_l2_tiled(queries, refs, k, tile=max(tile, 4096))
 
 

@@ -586,7 +586,17 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self._profiling = False
                     self._profile_steps = 0
-            finally:
+            except BaseException:
+                # Don't let close() (which drains and re-raises queued worker
+                # errors) mask the original exception unwinding the loop.
+                if updater is not None:
+                    try:
+                        updater.close()
+                    except Exception as drain_err:
+                        self.log(f"PCA worker error during unwind: {drain_err}")
+                self._updater = None
+                raise
+            else:
                 if updater is not None:
                     updater.close()
                 self._updater = None

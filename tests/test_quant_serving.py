@@ -34,9 +34,17 @@ def test_quant_cli_and_service(tmp_path):
         cv2.imwrite(str(img_dir / f"{i}.png"), img)
 
     scales_path = str(tmp_path / "scales.json")
-    rc = cli_main([
+    # without a checkpoint the CLI refuses (random-weight scales are wrong
+    # for real models) ...
+    rc_refused = cli_main([
         "quant", "--image_dir", str(img_dir), "--out", scales_path,
         "--num_images", "4", "--vlad_cores", "4",
+    ])
+    assert rc_refused == 1 and not os.path.exists(scales_path)
+    # ... unless --allow_random opts in (smoke calibration)
+    rc = cli_main([
+        "quant", "--image_dir", str(img_dir), "--out", scales_path,
+        "--num_images", "4", "--vlad_cores", "4", "--allow_random",
     ])
     # The CLI's default geometry is 180x240; our test wants the tiny config,
     # so only check the CLI wrote a well-formed file, then recalibrate small.

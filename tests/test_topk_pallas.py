@@ -1,6 +1,8 @@
 """Pallas streaming top-k (ops/pallas/topk_kernel.py): exact agreement with
 sklearn KDTree / the XLA paths, in interpret mode on CPU."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -64,3 +66,28 @@ def test_duplicate_rows_tie_break(rng):
     # the duplicate pair (j, j+5) must appear with the low index first
     for row in range(2):
         assert idx[row, 0] == row and idx[row, 1] == row + 5
+
+
+def test_stream_tile_fit_budget():
+    from soft_contrastive_learning_tpu.ops.topk import _stream_tile_fit
+
+    # 512-D descriptors: plenty of room for the default 2048 tile
+    assert _stream_tile_fit(512, 512) >= 2048
+    # 32768-D raw descriptors: no tile fits -> dispatcher must fall back
+    assert _stream_tile_fit(32768, 512) == 0
+    # 4096-D (largest PCA sweep dim): a reduced tile still fits
+    fit = _stream_tile_fit(4096, 512)
+    assert fit == 0 or fit % 512 == 0
+
+
+def test_tb_reexport_does_not_duplicate(tmp_path):
+    from soft_contrastive_learning_tpu.core import tb_export
+    from soft_contrastive_learning_tpu.core.logging import MetricsWriter
+
+    mw = MetricsWriter(str(tmp_path), role="local")
+    mw.scalar("loss", 1.0, 0)
+    tb_export.export_run(str(tmp_path))
+    tb_export.export_run(str(tmp_path))  # re-export must replace, not append
+    d = os.path.join(str(tmp_path), "tb", "local")
+    files = [f for f in os.listdir(d) if f.startswith("events.out.tfevents.")]
+    assert len(files) == 1
