@@ -82,11 +82,12 @@ def topk_l2_tiled(
     return jnp.sqrt(jnp.maximum(-best_d, 0.0)), best_i
 
 
-def _stream_tile_fit(d: int, q_chunk: int, budget: int = 8 * 1024 * 1024) -> int:
-    """Largest 512-aligned ref-tile size whose f32 working set (query block +
-    ref tile, both (*, d)) fits the VMEM budget; 0 if none does (e.g. the
-    32768-D raw-descriptor index, where one 512-row tile is already 64 MB)."""
-    fit = budget // (4 * d) - q_chunk
+def _stream_tile_fit(d: int, q_chunk: int, budget: int = 14 * 1024 * 1024) -> int:
+    """Largest 512-aligned ref-tile size whose f32 working set fits the VMEM
+    budget: the resident query block (q_chunk, d) plus TWO ref tiles
+    (tile, d) — Pallas double-buffers the BlockSpec'd input across grid
+    steps. 0 if none fits (e.g. the 32768-D raw-descriptor index)."""
+    fit = (budget - q_chunk * 4 * d) // (8 * d)
     fit = (fit // 512) * 512
     return fit if fit >= 512 else 0
 
