@@ -66,6 +66,10 @@ def _topk_kernel(
         r,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Default TPU matmul precision truncates f32 operands to bf16; the
+        # resulting ~1e-2-relative error in q.r reshuffles near neighbors
+        # (ops/distances.py uses 'highest' for the same reason).
+        precision=jax.lax.Precision.HIGHEST,
     )  # (Qp, TILE_R)
     scores = 2.0 * qr - rsq[:, 0][None, :]
 

@@ -82,11 +82,13 @@ def topk_l2_tiled(
     return jnp.sqrt(jnp.maximum(-best_d, 0.0)), best_i
 
 
-def _stream_tile_fit(d: int, q_chunk: int, budget: int = 14 * 1024 * 1024) -> int:
-    """Largest 512-aligned ref-tile size whose f32 working set fits the VMEM
-    budget: the resident query block (q_chunk, d) plus TWO ref tiles
-    (tile, d) — Pallas double-buffers the BlockSpec'd input across grid
-    steps. 0 if none fits (e.g. the 32768-D raw-descriptor index)."""
+def _stream_tile_fit(d: int, q_chunk: int, budget: int = 8 * 1024 * 1024) -> int:
+    """Largest 512-aligned ref-tile size whose f32 working set fits VMEM:
+    the resident query block (q_chunk, d), TWO ref tiles (tile, d) — Pallas
+    double-buffers the BlockSpec'd input across grid steps — plus headroom
+    for the HIGHEST-precision matmul's bf16 operand decompositions (measured:
+    a 14 MB data budget OOMs at 16.6 MB scoped). 0 if none fits (e.g. the
+    32768-D raw-descriptor index)."""
     fit = (budget - q_chunk * 4 * d) // (8 * d)
     fit = (fit // 512) * 512
     return fit if fit >= 512 else 0
@@ -111,7 +113,7 @@ def topk_l2_streamed(
         )
 
         d = refs.shape[1]
-        q_chunk = min(queries.shape[0], 512)
+        q_chunk = min(queries.shape[0], 256)
         fit_tile = _stream_tile_fit(d, q_chunk)
         if fit_tile:
             use_tile = min(tile, fit_tile)
