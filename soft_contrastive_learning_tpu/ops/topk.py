@@ -99,6 +99,7 @@ def topk_l2_streamed(
     refs: jnp.ndarray,
     k: int,
     tile: int = 2048,
+    _force_interpret: bool = False,  # tests: exercise the chunk path on CPU
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Memory-bounded top-k for large HBM-resident indexes: the fused Pallas
     streaming kernel on TPU (grid steps are ~us; a lax.scan iteration costs
@@ -107,7 +108,7 @@ def topk_l2_streamed(
     (k > 128, very high-dimensional refs, or huge query batches — e.g. the
     32768-D raw-descriptor index, where a (2048, D) f32 ref tile alone is
     256 MB)."""
-    if jax.default_backend() == "tpu" and k <= 128:
+    if (jax.default_backend() == "tpu" or _force_interpret) and k <= 128:
         from soft_contrastive_learning_tpu.ops.pallas.topk_kernel import (
             topk_l2_pallas,
         )
@@ -118,7 +119,10 @@ def topk_l2_streamed(
         if fit_tile:
             use_tile = min(tile, fit_tile)
             outs = [
-                topk_l2_pallas(queries[s : s + q_chunk], refs, k, tile=use_tile)
+                topk_l2_pallas(
+                    queries[s : s + q_chunk], refs, k, tile=use_tile,
+                    interpret=True if _force_interpret else None,
+                )
                 for s in range(0, queries.shape[0], q_chunk)
             ]
             return (

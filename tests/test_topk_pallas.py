@@ -91,3 +91,15 @@ def test_tb_reexport_does_not_duplicate(tmp_path):
     d = os.path.join(str(tmp_path), "tb", "local")
     files = [f for f in os.listdir(d) if f.startswith("events.out.tfevents.")]
     assert len(files) == 1
+
+
+def test_streamed_chunked_query_path(rng):
+    """The dispatcher's query-chunking (Q > 256) concatenates per-chunk
+    results in order; forced through the kernel in interpret mode on CPU."""
+    q = jnp.asarray(rng.standard_normal((300, 64)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((1000, 64)), jnp.float32)
+    d1, i1 = topk_l2_streamed(q, r, 5, _force_interpret=True)
+    d2, i2 = topk_l2(q, r, 5)
+    assert i1.shape == (300, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
