@@ -170,3 +170,38 @@ def warm_start_params(fresh_params: Any, donor_params: Any, scopes=WARM_START_SC
             merged[scope] = donor_params[scope]
             copied.append(scope)
     return merged, copied
+
+
+def load_run_params(run_dir: str, role: Optional[str] = None):
+    """Load the latest trained parameters from a training-run directory
+    (orbax checkpoints + config.json) — the train -> infer/serve seam.
+
+    The reference restores its own TF1 training checkpoints at inference
+    (evaluation/inference.py:122-144); this is the orbax equivalent for runs
+    produced by this framework. Returns ``(model_config, params)``; the
+    run's saved ModelConfig is authoritative (it matches the parameters).
+    """
+    from soft_contrastive_learning_tpu.core.config import TrainConfig
+
+    cfg_path = os.path.join(run_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"{run_dir} is not a training run dir (no config.json)"
+        )
+    cfg = TrainConfig.load(cfg_path)
+    ckpts = RunCheckpoints(run_dir, max_to_keep=cfg.max_to_keep)
+    roles = [role] if role else list(RunCheckpoints.ROLES)
+    best = None  # (step, role)
+    for r in roles:
+        try:
+            s = ckpts.latest(r)
+        except Exception:
+            s = None
+        if s is not None and (best is None or s > best[0]):
+            best = (s, r)
+    if best is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}/checkpoints")
+    step, r = best
+    restored = ckpts._mgr(r).restore(int(step))  # raw as-saved pytree
+    ckpts.close()
+    return cfg.model, restored["params"]

@@ -186,7 +186,10 @@ def cmd_train(args) -> int:
         out_dir = unique_out_dir(args.out_root, out_folder)
 
     if args.toy_city:
-        source = ToyCitySource(num_points=120, radius=150.0)
+        source = ToyCitySource(
+            num_points=120, radius=150.0,
+            img_h=args.image_height, img_w=args.image_width,
+        )
     else:
         source = FilesystemSource(
             cfg.img_root, cfg.shuffled_root, cfg.anchor_root, cfg.loc_ref_root
@@ -220,22 +223,45 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_infer(args) -> int:
+def _load_model_params(cfg, checkpoint: str):
+    """Resolve --checkpoint for infer/serve/quant: a .npz TF1 export warm-
+    starts the flag-built config; a training-run DIRECTORY loads the run's
+    own ModelConfig + latest orbax parameters (the train -> infer seam,
+    reference evaluation/inference.py:122-144); empty = fresh random params.
+    Returns (model_config, params)."""
     import jax
 
-    from soft_contrastive_learning_tpu.core.config import ModelConfig
-    from soft_contrastive_learning_tpu.evaluation.inference import run_inference
     from soft_contrastive_learning_tpu.models.model import init_params
 
-    cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
-                      out_dim=args.out_dim)
-    params = init_params(cfg, jax.random.key(0))
-    if args.checkpoint.endswith(".npz"):
+    if checkpoint.endswith(".npz"):
         from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
         from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
 
-        donor, _ = convert_checkpoint(args.checkpoint)
-        params, _ = warm_start_params(params, donor)
+        donor, _ = convert_checkpoint(checkpoint)
+        params, copied = warm_start_params(init_params(cfg, jax.random.key(0)), donor)
+        print(f"warm-started {copied} from {checkpoint}")
+        return cfg, params
+    if checkpoint and os.path.isdir(checkpoint):
+        from soft_contrastive_learning_tpu.checkpoints.manager import load_run_params
+
+        run_cfg, params = load_run_params(checkpoint)
+        print(f"loaded trained params from run dir {checkpoint} "
+              f"(run ModelConfig overrides flags)")
+        return run_cfg, params
+    if checkpoint:
+        raise SystemExit(
+            f"--checkpoint {checkpoint!r}: expected a .npz TF1 export or a "
+            "training-run directory")
+    return cfg, init_params(cfg, jax.random.key(0))
+
+
+def cmd_infer(args) -> int:
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.evaluation.inference import run_inference
+
+    cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
+                      out_dim=args.out_dim)
+    cfg, params = _load_model_params(cfg, args.checkpoint)
     out = run_inference(cfg, params, args.set, args.csv_root, args.img_root,
                         args.out_root, args.out_name,
                         batch_size=args.images_per_pass)
@@ -376,20 +402,18 @@ def cmd_quant(args) -> int:
 
     cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
                       out_dim=args.out_dim)
-    params = init_params(cfg, jax.random.key(0))
-    if args.checkpoint.endswith(".npz"):
-        from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
-        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
-
-        donor, _ = convert_checkpoint(args.checkpoint)
-        params, _ = warm_start_params(params, donor)
+    if args.checkpoint:
+        cfg, params = _load_model_params(cfg, args.checkpoint)
     elif not args.allow_random:
         # Scales calibrated on random weights are wrong for any real model;
         # refuse unless the caller explicitly asks (smoke tests).
-        print("error: --checkpoint (npz) required; scales calibrated on "
-              "randomly initialized weights would silently mis-quantize a "
-              "real model. Pass --allow_random to override for smoke tests.")
+        print("error: --checkpoint (npz or run dir) required; scales "
+              "calibrated on randomly initialized weights would silently "
+              "mis-quantize a real model. Pass --allow_random to override "
+              "for smoke tests.")
         return 1
+    else:
+        params = init_params(cfg, jax.random.key(0))
 
     from soft_contrastive_learning_tpu.evaluation.parity import IMAGE_EXTENSIONS
 
@@ -419,19 +443,12 @@ def cmd_serve(args) -> int:
     import jax
 
     from soft_contrastive_learning_tpu.core.config import ModelConfig
-    from soft_contrastive_learning_tpu.models.model import init_params
     from soft_contrastive_learning_tpu.serving import DescriptorService, serve
     from soft_contrastive_learning_tpu.utils.io import load_pickle
 
     cfg = ModelConfig(vlad_cores=args.vlad_cores, reduction=args.reduction,
                       out_dim=args.out_dim)
-    params = init_params(cfg, jax.random.key(0))
-    if args.checkpoint.endswith(".npz"):
-        from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
-        from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
-
-        donor, _ = convert_checkpoint(args.checkpoint)
-        params, _ = warm_start_params(params, donor)
+    cfg, params = _load_model_params(cfg, args.checkpoint)
     index = np.asarray(load_pickle(args.index)) if args.index else None
     quant_scales = None
     if args.quant_scales:
