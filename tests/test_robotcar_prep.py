@@ -232,3 +232,63 @@ def test_scale_factor(tmp_path, rng):
     stats = scale_factor(feats, xy, positives, str(tmp_path))
     assert stats["f_max"] >= stats["f_med"] >= 0
     assert os.path.exists(tmp_path / "scale_factor.pickle")
+
+
+@pytest.mark.slow
+def test_train_from_prep_artifacts(prep_ctx):
+    """The prep -> train seam: FilesystemSource reads the REAL artifact tree
+    written by stages 001-014 (CSV contracts + downsized images) and the
+    Trainer runs steps from it — the reference's actual data path
+    (train/train.py:1002-1009 reading shuffled/ + anchors/), previously only
+    exercised via the in-memory toy city."""
+    from soft_contrastive_learning_tpu.core.config import (
+        LossConfig, ModelConfig, TrainConfig, TupleConfig,
+    )
+    from soft_contrastive_learning_tpu.data.pipeline import FilesystemSource
+    from soft_contrastive_learning_tpu.train.trainer import Trainer
+
+    ctx = prep_ctx
+    source = FilesystemSource(
+        img_root=ctx.img_root,
+        shuffled_root=ctx.dir("shuffled"),
+        anchor_root=ctx.dir("anchors"),
+        loc_ref_root=ctx.dir("clusters"),
+    )
+    # sanity: the source resolves real image files written by stage 001
+    meta = source.epoch_meta("train_ref", 0)
+    assert {"date", "folder", "t", "easting", "northing"} <= set(meta)
+    img = source.load_image((meta["date"][0], meta["folder"][0], meta["t"][0]))
+    assert img.ndim == 3 and img.shape[2] == 3
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            vlad_cores=4, reduction="none", image_height=48, image_width=64,
+            compute_dtype="float32", use_pallas=False,
+        ),
+        tuples=TupleConfig(
+            positives_per_tuple=2, negatives_per_tuple=2,
+            hard_positives_per_tuple=0, hard_negatives_per_tuple=0,
+        ),
+        loss=LossConfig(name="wms"),
+        tuples_per_batch=1,
+        max_epoch=1,
+        mining_step=10**9,
+        mining_cache_size=4,
+        eval_step=10**9,
+        save_step=10**9,
+        num_eval_queries=2,
+        train_ref_r=1,
+        seed=0,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as out_dir:
+        trainer = Trainer(cfg, source, out_dir=out_dir)
+        trainer.train()
+        assert trainer.global_step > 0
+        losses = [
+            r["value"] for r in trainer.writers["local"].read_all()
+            if r["tag"] == "loss"
+        ]
+        assert losses and all(np.isfinite(losses))
+        trainer.close()
