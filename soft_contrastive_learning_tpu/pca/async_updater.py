@@ -75,6 +75,7 @@ class AsyncPCAUpdater:
         self._floor = -1  # feeds never go below this version (set by drain)
         self._hist: Dict[int, Snapshot] = {-1: _snap(pca, loss_pca)}
         self._err: Optional[BaseException] = None
+        self._failed = False  # terminal: set on worker error, never cleared
         self._closed = False
         self._thread = threading.Thread(
             target=self._run, name="pca-updater", daemon=True
@@ -98,12 +99,16 @@ class AsyncPCAUpdater:
                     self.pca.update(np.asarray(pca_in))
                 if self.loss_pca is not None and loss_in is not None:
                     self.loss_pca.update(np.asarray(loss_in))
-            except BaseException as e:  # propagate to the trainer
+            except BaseException as e:  # terminal: propagate to the trainer
                 with self._cond:
+                    # The PCA state is now missing update `version`; applying
+                    # later updates would snapshot silently-corrupt states, so
+                    # fail permanently: discard the queue and stop the worker.
                     self._err = e
-                    self._applied = version
+                    self._failed = True
+                    self._pending.clear()
                     self._cond.notify_all()
-                continue
+                return
             with self._cond:
                 self._applied = version
                 self._hist[version] = _snap(self.pca, self.loss_pca)
@@ -117,9 +122,10 @@ class AsyncPCAUpdater:
                 self._cond.notify_all()
 
     def _check(self) -> None:
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise RuntimeError("streaming-PCA worker failed") from err
+        if self._failed:
+            # terminal: every subsequent call keeps raising (a cleared error
+            # would let a later drain() KeyError on the missing version)
+            raise RuntimeError("streaming-PCA worker failed") from self._err
 
     # ------------------------------------------------------------ trainer API
     def submit(self, pca_in: Any, loss_pca_in: Any) -> None:
@@ -135,7 +141,7 @@ class AsyncPCAUpdater:
         (or the drain floor, whichever is newer)."""
         with self._cond:
             target = max(self._submitted - 2, self._floor)
-            while self._applied < target and self._err is None:
+            while self._applied < target and not self._failed:
                 self._cond.wait()
             self._check()
             return self._hist[target]
@@ -145,16 +151,20 @@ class AsyncPCAUpdater:
         return it — the state that belongs in a checkpoint."""
         with self._cond:
             target = self._submitted - 1
-            while self._applied < target and self._err is None:
+            while self._applied < target and not self._failed:
                 self._cond.wait()
             self._check()
             self._floor = target
             return self._hist[target]
 
     def close(self) -> None:
-        """Drain and stop the worker (PCA objects then hold the final state)."""
-        self.drain()
-        with self._cond:
-            self._closed = True
-            self._cond.notify_all()
-        self._thread.join()
+        """Drain and stop the worker (PCA objects then hold the final state).
+        The worker is stopped and joined even when the drain raises (a failed
+        worker must not leak a blocked thread)."""
+        try:
+            self.drain()
+        finally:
+            with self._cond:
+                self._closed = True
+                self._cond.notify_all()
+            self._thread.join()

@@ -84,9 +84,14 @@ class TupleSampler:
             self.xy[index : index + 1], r=self.tuples.max_pos_radius
         )[0]
         near = near[near != index]
-        yaw_ok = (
-            np.abs(self.yaw[index] - self.yaw[near]) % (2 * math.pi)
-        ) < self.tuples.max_yaw_diff
+        # Circular yaw difference. The reference's |a-b| % 2pi form
+        # (train/train.py:458) is NOT circular: headings straddling the
+        # 0/2pi seam (e.g. 0.05 vs 6.23, truly ~0.1 rad apart) evaluate to
+        # ~6.18 and get rejected, silently dropping co-heading positives for
+        # every anchor near the seam — fixed like the other latent reference
+        # bugs (PARITY.md).
+        yaw_d = np.abs(self.yaw[index] - self.yaw[near]) % (2 * math.pi)
+        yaw_ok = np.minimum(yaw_d, 2 * math.pi - yaw_d) < self.tuples.max_yaw_diff
         return near[yaw_ok]
 
     def _neighborhood(self, index: int) -> np.ndarray:
@@ -110,7 +115,9 @@ class TupleSampler:
         if sorted_cache is not None and t.hard_positives_per_tuple > 0:
             pos_set = set(potential_pos.tolist())
             for ci in reversed(sorted_cache):  # farthest-in-embedding first
-                if int(ci) in pos_set:
+                # dedup: the mining window can contain the same dataset index
+                # twice (rolling window wrap / upcoming anchors inside it)
+                if int(ci) in pos_set and int(ci) not in hard_pos:
                     hard_pos.append(int(ci))
                     if len(hard_pos) >= t.hard_positives_per_tuple:
                         break
@@ -164,6 +171,12 @@ class TupleSampler:
         members = [index] + list(positives) + list(negatives)
         if self._quadruplet:
             if not t.mutually_exclusive_negs:
+                # Reference-faithful over-exclusion: the reference expands
+                # the neighborhoods of EVERYTHING in `excluded` (its
+                # `original_negatives = excluded.copy()`, train/train.py:
+                # 509-513), which includes the anchor's whole min_neg_radius
+                # neighborhood — a 2-hop exclusion, not just the negatives'.
+                # Kept as-is for behavioral parity of the quadruplet payload.
                 for neg in list(excluded):
                     excluded.update(self._neighborhood(int(neg)).tolist())
             remaining = np.setdiff1d(

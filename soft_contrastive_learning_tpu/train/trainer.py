@@ -252,14 +252,19 @@ class Trainer:
         self.mining_cache.refresh(feats, mine_idx)
 
     # ------------------------------------------------------------ eval
-    def _eval_loss_other(self, epoch: int, global_step: int) -> None:
+    def _eval_loss_other(
+        self, epoch: int, global_step: int, eval_ordinal: Optional[int] = None
+    ) -> None:
         """Held-out-region training loss (reference get_eval_loss,
         train/train.py:1112-1149)."""
         cfg = self.cfg
         meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
         sampler = self._sampler_for(meta, rng=self.eval_rng)
         n = len(meta["t"])
-        test_number = global_step // max(cfg.eval_step, 1)
+        test_number = (
+            eval_ordinal if eval_ordinal is not None
+            else global_step // max(cfg.eval_step, 1)
+        )
         per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
         idx = np.arange(test_number * per_eval, (test_number + 1) * per_eval) % n
         losses = []
@@ -280,7 +285,8 @@ class Trainer:
             self.log("Evaluated but got no valid losses.")
 
     def _eval_localization(
-        self, epoch: int, global_step: int, ref_set: str, query_set: str, mode: str
+        self, epoch: int, global_step: int, ref_set: str, query_set: str,
+        mode: str, eval_ordinal: Optional[int] = None,
     ) -> Dict[str, float]:
         """In-training localization eval (reference evaluate_localization,
         train/train.py:1156-1193) with on-device brute-force top-k."""
@@ -291,7 +297,10 @@ class Trainer:
         ref_xy = get_xy(ref_meta)
 
         query_meta = self.source.epoch_meta(query_set, epoch)
-        test_number = global_step // max(cfg.eval_step, 1)
+        test_number = (
+            eval_ordinal if eval_ordinal is not None
+            else global_step // max(cfg.eval_step, 1)
+        )
         q_idx = np.arange(
             test_number * cfg.num_eval_queries,
             (test_number + 1) * cfg.num_eval_queries,
@@ -390,8 +399,17 @@ class Trainer:
         are race-free; inside a segment the PRE-SPAWN state is saved together
         with the segment step and the number of consumed batches, which lets
         resume re-spawn the identical child and fast-forward the sample
-        stream to the exact step (losses/order reproduce; the rebuilt mining
-        cache uses the restored — slightly later — params)."""
+        stream to the exact step. Exactness scope: the replayed RNG stream is
+        bitwise-identical, so resumed == uninterrupted whenever the
+        hard-example picks are unchanged by the cache rebuild — always true
+        with hard mining off, and true in practice when embeddings move
+        slowly between refreshes. The rebuilt mining cache necessarily uses
+        the restored (slightly later) params; if its embedding ORDER differs
+        from the original cache's, hard picks (and then the rejection
+        sampler's draw count) can diverge from the uninterrupted run. Making
+        that case bitwise too would mean checkpointing the cache features
+        (~mining_cache_size x descriptor_dim, 131 MB at flagship scale) —
+        deliberately not done."""
         ctx = self._seg_ctx
         return {
             "sampler_rng": (
@@ -428,7 +446,12 @@ class Trainer:
         # are the steps divisible by mining_step — exactly the reference's
         # refresh condition (train/train.py:1014) — NOT fixed-length segments,
         # which would drift whenever tuples_per_batch doesn't divide
-        # mining_step and silently disable later refreshes.
+        # mining_step and silently disable later refreshes. Caveat shared
+        # with the reference: steps stride by tuples_per_batch, so when tpb
+        # does not divide mining_step/eval_step/save_step, events fire at
+        # multiples of lcm(tpb, K) (e.g. tpb=3, mining_step=250 -> every
+        # 750). The defaults (2 | 100/250/500) divide; pick cadences that
+        # are multiples of tuples_per_batch.
         boundary_mask = steps % cfg.mining_step == 0
         # Mid-epoch resume: fast-forward to the checkpointed segment without
         # spawning children for the skipped segments (self.rng was restored to
@@ -526,7 +549,7 @@ class Trainer:
                 side_effects = not suppress_side_effects_once
                 suppress_side_effects_once = False
                 if side_effects and abs_step % cfg.eval_step == 0:
-                    self._run_eval(epoch)
+                    self._run_eval(epoch, abs_step // max(cfg.eval_step, 1))
                 if side_effects and abs_step % cfg.save_step == 0:
                     if updater is not None:
                         updater.drain()
@@ -603,7 +626,13 @@ class Trainer:
             seg_start = seg_end
         self._seg_ctx = None
 
-    def _run_eval(self, epoch: int) -> None:
+    def _run_eval(self, epoch: int, eval_ordinal: Optional[int] = None) -> None:
+        """``eval_ordinal`` indexes the rolling eval-query windows. It counts
+        eval FIRINGS (abs_step // eval_step): the reference divides its
+        batch-count GLOBAL_STEP by EVAL_STEP while triggering on the
+        anchor-count step (train/train.py:1070,1124) — mixed units that
+        replay each query window tuples_per_batch times; fixed like the
+        other latent reference bugs (PARITY.md)."""
         self.log("EVALUATING")
         if self._updater is not None:
             # Checkpoint/eval reads of the live PCA objects need every
@@ -611,18 +640,22 @@ class Trainer:
             # keeping resumed and uninterrupted feed sequences identical).
             self._updater.drain()
         gs = self.global_step
+        if eval_ordinal is None:  # epoch-end eval: past the last window
+            eval_ordinal = gs // max(self.cfg.eval_step, 1)
         self.ckpts.save(
             "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
             self._extras(),
         )
         with self.timer.span("eval_loss"):
-            self._eval_loss_other(epoch, gs)
+            self._eval_loss_other(epoch, gs, eval_ordinal)
         with self.timer.span("eval_localization"):
             self._eval_localization(
-                epoch, gs, self.cfg.other_ref_set, self.cfg.other_query_set, "other"
+                epoch, gs, self.cfg.other_ref_set, self.cfg.other_query_set,
+                "other", eval_ordinal,
             )
             self._eval_localization(
-                epoch, gs, self.cfg.local_ref_set, self.cfg.local_query_set, "local"
+                epoch, gs, self.cfg.local_ref_set, self.cfg.local_query_set,
+                "local", eval_ordinal,
             )
 
     # ------------------------------------------------------------ resume

@@ -98,8 +98,14 @@ def test_worker_error_propagates():
         while time.time() < deadline:
             up.feed_states()
             up.submit(np.zeros((5, 6), np.float32), None)
-    up._err = None
-    up.close()
+    # Failure is terminal: every later call keeps raising (a one-shot error
+    # would let a subsequent drain KeyError on the never-applied version),
+    # and close() still stops the worker thread.
+    with pytest.raises(RuntimeError, match="streaming-PCA worker failed"):
+        up.drain()
+    with pytest.raises(RuntimeError, match="streaming-PCA worker failed"):
+        up.close()
+    assert not up._thread.is_alive()
 
 
 def test_both_pcas_updated_together():
