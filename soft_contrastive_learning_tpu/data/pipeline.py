@@ -185,17 +185,42 @@ class Prefetcher:
         self._num = num_items
         self._build = build_fn
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for i in range(self._num):
-                self._q.put(self._build(i))
+                if self._stop.is_set():
+                    return
+                item = self._build(i)
+                # bounded put that stays interruptible: a consumer that exits
+                # the iterator early (step failure, break) sets _stop, and the
+                # producer must not stay blocked on a full queue forever
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._SENTINEL)
+            if not self._stop.is_set():
+                self._q.put(self._SENTINEL)
+
+    def close(self) -> None:
+        """Stop the producer and release its queue slots; idempotent. Call on
+        early consumer exit, or the thread (and the decoded batches it holds)
+        leak for the life of the process."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)
 
     def __iter__(self):
         while True:

@@ -65,7 +65,13 @@ def interpolate_image_xy(ctx: PrepContext, date: str) -> None:
     # matches _lin_ip: weight of sample k is the OTHER sample's time gap
     imgs["northing"] = (northing[i2] * w).sum(axis=1).tolist()
     imgs["easting"] = (easting[i2] * w).sum(axis=1).tolist()
-    imgs["yaw"] = (((yaw[i2] * w).sum(axis=1)) % (2 * math.pi)).tolist()
+    # Shortest-arc yaw interpolation. The reference lin_ip blends raw yaw
+    # values (prepare_data/002_interpolate_image_xy.py:18-19), which averages
+    # ACROSS the 0/2pi seam (6.27 and 0.01 blend to ~pi, i.e. backwards);
+    # fixed like the other latent seam bugs (PARITY.md).
+    y0, y1 = yaw[i2[:, 0]], yaw[i2[:, 1]]
+    arc = ((y1 - y0 + math.pi) % (2 * math.pi)) - math.pi
+    imgs["yaw"] = ((y0 + w[:, 1] * arc) % (2 * math.pi)).tolist()
     good = (status[i2[:, 0]] == "INS_SOLUTION_GOOD") & (
         status[i2[:, 1]] == "INS_SOLUTION_GOOD"
     )
@@ -222,7 +228,10 @@ def parametrize_date(
         ni, nd = neigh_i[j], neigh_d[j]
         if len(ni) < 2:
             continue
-        yaw_ok = (np.abs(day_yaw[j] - ref_yaw[ni]) % (2 * math.pi)) < math.pi / 3
+        # circular difference (the reference's |a-b| % 2pi form is not;
+        # same latent seam bug as the sampler's yaw gate, PARITY.md)
+        yd = np.abs(day_yaw[j] - ref_yaw[ni]) % (2 * math.pi)
+        yaw_ok = np.minimum(yd, 2 * math.pi - yd) < math.pi / 3
         ni, nd = ni[yaw_ok], nd[yaw_ok]
         if len(ni) < 2:
             continue
@@ -379,7 +388,11 @@ def fix_localization_refs(ctx: PrepContext, fold: str, r: float) -> None:
         save_csv(meta, out_csv)  # fold dropped upstream: empty artifact
         return
     l = _floats(meta, "l").reshape(-1, 1)
-    grid = np.arange(0, math.floor(l[-1, 0]), step=r).reshape(-1, 1)
+    # max(l), not l[-1]: the concatenated multi-date CSV's last row is the
+    # lexicographically-last date's final match, which can end well before
+    # the route does (the reference's l[-1] silently truncates the eval
+    # reference grid in that case, prepare_data/011:30).
+    grid = np.arange(0, math.floor(float(l.max())), step=r).reshape(-1, 1)
     idx = KDTree(l).query(grid, k=1, return_distance=False)[:, 0]
     save_csv(_filter(meta, idx), out_csv)
 

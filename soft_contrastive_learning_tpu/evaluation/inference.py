@@ -99,7 +99,12 @@ class DescriptorExtractor:
             nxt = paths[start + chunk : start + 2 * chunk]
             futures = self._pool.map(load, nxt) if nxt else None
             out.append(self.extract_images(images))
-        return np.concatenate(out) if out else np.zeros((0,))
+        if out:
+            return np.concatenate(out)
+        dim = (
+            self.cfg.descriptor_dim if self.raw else self.cfg.output_dim
+        )
+        return np.zeros((0, dim), np.float32)
 
 
 def run_inference(

@@ -35,7 +35,7 @@ from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
 from soft_contrastive_learning_tpu.core.config import ModelConfig
 from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
 from soft_contrastive_learning_tpu.models.model import create_model, init_params
-from soft_contrastive_learning_tpu.utils.cv import standard_size
+from soft_contrastive_learning_tpu.utils.cv import normalize_geometry, standard_size
 from soft_contrastive_learning_tpu.utils.io import load_img
 
 IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp")
@@ -107,7 +107,15 @@ def embed_with_checkpoint(
         chunk = image_files[start : start + batch_size]
         imgs = np.stack(
             [
-                standard_size(load_img(f), h=cfg.image_height, w=cfg.image_width)
+                # keep-aspect for NetVLAD models, exactly like the inference
+                # extractor (evaluation/inference.py) and the reference's
+                # NetVLAD preprocessing — a center-crop here would feed
+                # different pixels than the TF1 run and fail golden parity
+                # on any image whose aspect differs from H:W.
+                normalize_geometry(
+                    load_img(f), cfg.image_height, cfg.image_width,
+                    keep_aspect=cfg.vlad_cores > 0,
+                )
                 for f in chunk
             ]
         ).astype(np.float32)

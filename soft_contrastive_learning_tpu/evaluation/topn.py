@@ -64,6 +64,7 @@ def top_n_single(
     n: int = 25,
     mesh=None,
     ref_idx: Optional[List[int]] = None,
+    geo=None,  # optional precomputed (xy_d, gt_local) for this subsample
 ) -> Optional[list]:
     """One (already PCA-reduced) retrieval pass -> the 6-element pickle list."""
     if ref_idx is None:
@@ -90,12 +91,17 @@ def top_n_single(
     top_f = np.asarray(top_f)
     top_i = np.asarray(top_i)
 
-    # geographic distances of the retrievals + ground-truth optimum
-    xy_d = np.linalg.norm(
-        query_xy[:, None, :] - sub_xy[None, :, :], axis=-1
-    )  # (Q, R')
+    # geographic distances of the retrievals + ground-truth optimum.
+    # The (Q, R') matrix depends only on the spatial subsample, not on the
+    # descriptor dim — callers sweeping dims pass it precomputed (geo=).
+    if geo is None:
+        xy_d = np.linalg.norm(
+            query_xy[:, None, :] - sub_xy[None, :, :], axis=-1
+        )  # (Q, R')
+        gt_local = np.argmin(xy_d, axis=1)
+    else:
+        xy_d, gt_local = geo
     top_g = np.take_along_axis(xy_d, top_i, axis=1)
-    gt_local = np.argmin(xy_d, axis=1)
     gt_g = xy_d[np.arange(len(query_xy)), gt_local]
 
     # translate to original reference indices (reference :115-117)
@@ -139,6 +145,15 @@ def get_top_n(
         spacing: spatial_subsample(np.asarray(ref_xy), spacing)
         for spacing in spacings
     }
+    # The geographic (Q, R') distance matrix + ground-truth argmin likewise
+    # depend only on the spacing — build each once, not once per dim.
+    geo_cache = {}
+    for spacing, idx in subsample_cache.items():
+        sub_xy = np.asarray(ref_xy)[idx]
+        xy_d = np.linalg.norm(
+            np.asarray(query_xy)[:, None, :] - sub_xy[None, :, :], axis=-1
+        )
+        geo_cache[spacing] = (xy_d, np.argmin(xy_d, axis=1))
     for d in usable_dims:
         whitener = PCAWhitener(
             components=full_whitener.components[:d],
@@ -158,6 +173,7 @@ def get_top_n(
             result = top_n_single(
                 ref_f, query_f, np.asarray(ref_xy), np.asarray(query_xy),
                 spacing, n=n, mesh=mesh, ref_idx=subsample_cache[spacing],
+                geo=geo_cache[spacing],
             )
             if result is None:
                 continue

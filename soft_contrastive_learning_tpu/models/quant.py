@@ -106,8 +106,11 @@ def load_scales(path: str) -> Dict[str, float]:
 
 def _quantize_weight(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     s = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0  # per-output-channel
-    k8 = jnp.clip(jnp.round(k / s), -127, 127).astype(jnp.int8)
-    return k8, s
+    # an all-zero output channel (pruned/converted checkpoints) gives s=0;
+    # 0/0 would spread NaN through the whole descriptor — quantize it to 0s
+    s_safe = jnp.where(s > 0, s, 1.0)
+    k8 = jnp.clip(jnp.round(k / s_safe), -127, 127).astype(jnp.int8)
+    return k8, s_safe
 
 
 def _requant(y: jnp.ndarray, scale: float) -> jnp.ndarray:

@@ -539,8 +539,9 @@ class Trainer:
                 return batch, sample.used_indices
 
             consumed = 0
+            prefetcher = Prefetcher(build, len(seg_steps) - offset)
             try:
-              for item in Prefetcher(build, len(seg_steps) - offset):
+              for item in prefetcher:
                 abs_step = int(seg_steps[offset + consumed])
                 consumed += 1
                 # items fully processed so far (the current one re-trains on
@@ -610,8 +611,11 @@ class Trainer:
                     self._profiling = False
                     self._profile_steps = 0
             except BaseException:
-                # Don't let close() (which drains and re-raises queued worker
-                # errors) mask the original exception unwinding the loop.
+                # Early exit: unblock the producer thread (it would otherwise
+                # stay parked on the bounded queue holding decoded batches),
+                # and don't let updater.close() (which drains and re-raises
+                # queued worker errors) mask the original exception.
+                prefetcher.close()
                 if updater is not None:
                     try:
                         updater.close()
@@ -620,6 +624,7 @@ class Trainer:
                 self._updater = None
                 raise
             else:
+                prefetcher.close()
                 if updater is not None:
                     updater.close()
                 self._updater = None
