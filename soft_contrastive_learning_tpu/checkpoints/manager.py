@@ -61,11 +61,16 @@ class RunCheckpoints:
         self._max_to_keep = max_to_keep
         self._mgrs: Dict[str, ocp.CheckpointManager] = {}
 
+    def _role_root(self, role: str) -> str:
+        return os.path.abspath(os.path.join(self.out_dir, "checkpoints", role))
+
     def _mgr(self, role: str) -> ocp.CheckpointManager:
         if role not in self._mgrs:
             keep = self._max_to_keep if role == "rolling" else None  # None = unbounded
-            opts = dict(max_to_keep=keep)
-            root = os.path.abspath(os.path.join(self.out_dir, "checkpoints", role))
+            # Read-only instances (enabled=False) must not mutate the run dir
+            # (e.g. `scl-tpu serve --checkpoint <run_dir>` on a snapshot).
+            opts = dict(max_to_keep=keep, create=self.enabled)
+            root = self._role_root(role)
             if jax.process_count() > 1:
                 # orbax cannot create=True under active_processes; the shared
                 # filesystem root is made here instead.
@@ -126,6 +131,8 @@ class RunCheckpoints:
             mgr.wait_until_finished()
 
     def latest(self, role: str = "rolling") -> Optional[int]:
+        if not self.enabled and not os.path.isdir(self._role_root(role)):
+            return None  # read-only probe of a role that was never written
         return self._mgr(role).latest_step()
 
     def restore(
@@ -189,19 +196,28 @@ def load_run_params(run_dir: str, role: Optional[str] = None):
             f"{run_dir} is not a training run dir (no config.json)"
         )
     cfg = TrainConfig.load(cfg_path)
-    ckpts = RunCheckpoints(run_dir, max_to_keep=cfg.max_to_keep)
+    # enabled=False: loading must never create directories in the run
+    ckpts = RunCheckpoints(run_dir, max_to_keep=cfg.max_to_keep, enabled=False)
     roles = [role] if role else list(RunCheckpoints.ROLES)
-    best = None  # (step, role)
+    # Roles use different step units ('epoch' saves step=epoch index,
+    # 'rolling'/'part' save the global step), so raw step numbers are not
+    # comparable across roles — pick the most recently WRITTEN checkpoint
+    # by its directory mtime instead.
+    best = None  # (mtime, step, role)
     for r in roles:
         try:
             s = ckpts.latest(r)
         except Exception:
             s = None
-        if s is not None and (best is None or s > best[0]):
-            best = (s, r)
+        if s is None:
+            continue
+        step_dir = os.path.join(ckpts._role_root(r), str(int(s)))
+        mtime = os.path.getmtime(step_dir) if os.path.isdir(step_dir) else 0.0
+        if best is None or mtime > best[0]:
+            best = (mtime, s, r)
     if best is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir}/checkpoints")
-    step, r = best
+    _, step, r = best
     restored = ckpts._mgr(r).restore(int(step))  # raw as-saved pytree
     ckpts.close()
     return cfg.model, restored["params"]

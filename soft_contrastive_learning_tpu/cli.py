@@ -23,6 +23,17 @@ from typing import List, Optional
 import numpy as np
 
 
+def _bool_flag(s: str) -> bool:
+    """Strict boolean flag parser: True/False (any case) or 1/0; anything
+    else is an argparse error instead of a silent default."""
+    v = s.strip().lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
     # Data roots (filesystem contract, reference train/train.py:1226-1233)
     p.add_argument("--img_root", default="")
@@ -43,7 +54,7 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--negatives_per_tuple", type=int, default=12)
     p.add_argument("--hard_positives_per_tuple", type=int, default=6)
     p.add_argument("--hard_negatives_per_tuple", type=int, default=6)
-    p.add_argument("--mutually_exclusive_negs", type=lambda s: s != "False", default=True)
+    p.add_argument("--mutually_exclusive_negs", type=_bool_flag, default=True)
 
     # Loss (reference :1252-1266)
     p.add_argument("--loss", default="wrd")
@@ -54,7 +65,7 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--beta", type=float, default=15.0)
     p.add_argument("--wfunction", default="exp", choices=["exp", "lin", "tanh"])
     p.add_argument("--sumfunction", default="ms", choices=["ms", "plain"])
-    p.add_argument("--msmining", type=lambda s: s == "True", default=False)
+    p.add_argument("--msmining", type=_bool_flag, default=False)
     p.add_argument("--max_pos_radius", type=float, default=15.0)
     p.add_argument("--min_neg_radius", type=float, default=15.0)
 
@@ -96,7 +107,7 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--image_height", type=int, default=180)
     p.add_argument("--image_width", type=int, default=240)
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--use_pallas", type=lambda s: s != "False", default=True)
+    p.add_argument("--use_pallas", type=_bool_flag, default=True)
     p.add_argument("--num_data_shards", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true")
@@ -167,13 +178,29 @@ def cmd_train(args) -> int:
     if args.task_id == -1:
         # Self-submission convention (reference train/train.py:1216-1219,1465-1466):
         # freeze this CLI module and submit 'python cli.py train <flags>'.
-        params = [
-            (k, v) for k, v in vars(args).items()
-            if k not in ("task_id", "func", "command")
-            # identity checks: `v not in (..., False)` would drop 0/0.0
-            and v is not None and v is not False
-            and not (isinstance(v, str) and v == "")
-        ]
+        # store_true flags render bare when True / drop when False; the
+        # value-typed boolean flags (_bool_flag) must render an explicit
+        # True/False value or the child's argparse rejects the bare flag.
+        store_true_flags = {"toy_city", "resume", "save_plots"}
+        params = []
+        for k, v in vars(args).items():
+            if k in ("task_id", "func", "command"):
+                continue
+            if v is None or (isinstance(v, str) and v == ""):
+                continue
+            if isinstance(v, bool):
+                if k in store_true_flags:
+                    if v:
+                        params.append((k, True))
+                else:
+                    params.append((k, str(v)))
+                continue
+            params.append((k, v))
+        if not any(k == "out_folder" for k, _ in params):
+            # pin the resolved run name: run_one_job pre-creates out_dir, and
+            # without an explicit out_folder the child's unique_out_dir would
+            # skip to a _000 suffix, detaching training output from the job
+            params.append(("out_folder", out_folder))
         run_one_job(os.path.abspath(__file__), params,
                     positional_args=("train",),
                     queue=args.queue, out_dir=out_dir, memory=50,
@@ -347,7 +374,12 @@ def cmd_metrics(args) -> int:
         series = {}
         with open(path) as f:
             for line in f:
-                rec = _json.loads(line)
+                if not line.strip():
+                    continue  # tolerate a truncated/blank trailing line
+                try:
+                    rec = _json.loads(line)
+                except ValueError:
+                    continue
                 series.setdefault(rec["tag"], []).append((rec["step"], rec["value"]))
         summary[role] = series
         for tag, pts in sorted(series.items()):

@@ -48,7 +48,8 @@ class JobSpec:
         """Shell-safe command line: values are quoted; booleans render as
         bare flags when True (argparse store_true) and are omitted when
         False/None/empty."""
-        parts = [shlex.quote(os.path.join(self.out_dir, os.path.basename(self.script)))]
+        parts = [shlex.quote(os.path.abspath(
+            os.path.join(self.out_dir, os.path.basename(self.script))))]
         parts += [shlex.quote(str(a)) for a in self.positional_args]
         for k, v in self.script_parameters:
             if v is None or v == "" or v is False:
@@ -64,8 +65,9 @@ def _sge_script(spec: JobSpec) -> str:
     lines = [
         "#!/bin/bash",
         f"#$ -N {spec.name}",
-        f"#$ -o {spec.out_dir}",
-        f"#$ -e {spec.out_dir}",
+        "#$ -cwd",  # SGE defaults to $HOME; frozen-script/log paths assume cwd
+        f"#$ -o {os.path.abspath(spec.out_dir)}",
+        f"#$ -e {os.path.abspath(spec.out_dir)}",
         f"#$ -q {spec.queue}",
         f"#$ -l h_vmem={spec.memory_gb}G",
         f"#$ -l hostname={spec.hostname}",

@@ -43,6 +43,9 @@ def _netvlad_kernel(x_ref, s_ref, c_ref, out_ref):
         a,
         dimension_numbers=(((0,), (0,)), ((), ())),  # contract over N
         preferred_element_type=jnp.float32,
+        # default TPU matmul precision truncates f32 operands to bf16; the
+        # XLA path (models/netvlad.py) contracts at 'highest' — match it
+        precision=jax.lax.Precision.HIGHEST,
     )  # (D, K)
     mass = jnp.sum(a, axis=0, keepdims=True)  # (1, K)
     v = agg + c_ref[:].astype(jnp.float32) * mass  # (D, K)

@@ -48,6 +48,10 @@ def _wms_kernel(
     sim = jax.lax.dot_general(
         x, x, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 operands at default precision truncate to bf16 on the MXU;
+        # the XLA formulation (losses/ms.py) contracts at 'highest', and the
+        # backward is derived from it — keep forward and backward consistent
+        precision=jax.lax.Precision.HIGHEST,
     )
     sim = jnp.maximum(sim, 0.0)
 

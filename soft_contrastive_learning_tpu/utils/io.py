@@ -131,7 +131,12 @@ def save_csv(data: Dict[Any, Any], path: str, delimiter: str = ",") -> None:
 def unzip(tar_path: str, out_dir: str) -> None:
     """Extract a tar archive (reference util/io.py:108-111)."""
     with tarfile.open(tar_path, mode="r") as tar:
-        tar.extractall(out_dir)
+        # 'data' filter: rejects path traversal / absolute members from
+        # untrusted dataset archives (and pins the 3.14 default now).
+        try:
+            tar.extractall(out_dir, filter="data")
+        except TypeError:  # Python < 3.12: no filter parameter
+            tar.extractall(out_dir)
 
 
 def mkdir(path: str) -> None:
