@@ -16,6 +16,7 @@ subtrees are taken from the donor checkpoint; heads start fresh.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -207,7 +208,15 @@ def load_run_params(run_dir: str, role: Optional[str] = None):
     for r in roles:
         try:
             s = ckpts.latest(r)
-        except Exception:
+        except FileNotFoundError:
+            s = None  # role never written — genuinely absent
+        except Exception as e:
+            # A corrupt or permission-broken checkpoint tree is NOT the same
+            # as an absent one; surface it per-role instead of letting it
+            # masquerade as "no checkpoints under .../checkpoints".
+            logging.getLogger(__name__).warning(
+                "checkpoint role %r unreadable under %s: %s", r, run_dir, e
+            )
             s = None
         if s is None:
             continue

@@ -181,6 +181,18 @@ def build_loss(cfg: LossConfig, tuples: TupleConfig, tuples_per_batch: int) -> L
         return lambda b, p, st: LossResult(
             ms_losses.ms_loss(labels, b.embeddings, ms_mining=cfg.ms_mining)
         )
+    if name == "ms_det":
+        # Strict-superset registration: the reference defines ms_det
+        # (model/losses.py:139-186, identical body to ms_loss but with
+        # ms_mining defaulting OFF) yet its train.py never dispatches it.
+        # Here it dispatches with the function's own default (mining off),
+        # which is the one semantic that distinguishes it from 'ms_loss'.
+        labels = ms_losses.tuple_labels(
+            tuples_per_batch, tuples.positives_per_tuple, tuples.negatives_per_tuple
+        )
+        return lambda b, p, st: LossResult(
+            ms_losses.ms_det_loss(labels, b.embeddings, ms_mining=False)
+        )
     if name == "ms_sum":
         labels = ms_losses.tuple_labels(
             tuples_per_batch, tuples.positives_per_tuple, tuples.negatives_per_tuple
@@ -226,30 +238,34 @@ def build_loss(cfg: LossConfig, tuples: TupleConfig, tuples_per_batch: int) -> L
         # (model/losses.py:5 default; train/train.py:852 passes no override).
         # On TPU the exp/ms configuration routes through the fused Pallas
         # kernel (ops/pallas/wms_kernel.py); other configurations and other
-        # backends use the XLA formulation.
-        import jax as _jax
+        # backends use the XLA formulation. The backend check runs at TRACE
+        # time (inside the returned fn), not when build_loss runs, so a
+        # library user may build the loss before jax.distributed/device init
+        # without silently baking the wrong path (round-2 review finding).
+        fused_eligible = cfg.wfunction == "exp" and cfg.sumfunction == "ms"
 
-        if (
-            cfg.wfunction == "exp"
-            and cfg.sumfunction == "ms"
-            and _jax.default_backend() == "tpu"
-        ):
-            from soft_contrastive_learning_tpu.ops.pallas.wms_kernel import (
-                wms_loss_fused,
-            )
+        def wms_fn(b, p, st):
+            import jax as _jax
 
-            return lambda b, p, st: LossResult(
-                wms_loss_fused(
-                    p["geo_dist_matrix"], b.embeddings, cfg.alpha, cfg.beta
+            if fused_eligible and _jax.default_backend() == "tpu":
+                from soft_contrastive_learning_tpu.ops.pallas.wms_kernel import (
+                    wms_loss_fused,
+                )
+
+                return LossResult(
+                    wms_loss_fused(
+                        p["geo_dist_matrix"], b.embeddings, cfg.alpha, cfg.beta
+                    )
+                )
+            return LossResult(
+                ms_losses.wms_loss(
+                    p["geo_dist_matrix"], b.embeddings,
+                    d_alpha=cfg.alpha, d_beta=cfg.beta,
+                    ms_mining=True, wfunction=cfg.wfunction, sumfunction=cfg.sumfunction,
                 )
             )
-        return lambda b, p, st: LossResult(
-            ms_losses.wms_loss(
-                p["geo_dist_matrix"], b.embeddings,
-                d_alpha=cfg.alpha, d_beta=cfg.beta,
-                ms_mining=True, wfunction=cfg.wfunction, sumfunction=cfg.sumfunction,
-            )
-        )
+
+        return wms_fn
 
     if name == "logratio":
         return lambda b, p, st: LossResult(
@@ -274,7 +290,7 @@ LOSS_NAMES = (
     "residual_det", "residual_trace",
     "incremental_residual_det", "incremental_det",
     "incremental_residual_mm", "incremental_mm",
-    "ms_loss", "ms_sum",
+    "ms_loss", "ms_det", "ms_sum",
     "swrd", "wrd", "prodwrd", "sumwrd",
     "wms", "logratio",
 )

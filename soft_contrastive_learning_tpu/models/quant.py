@@ -1,10 +1,15 @@
 """Post-training int8 quantization of the VGG16 conv stack (inference).
 
-Why: the flagship model is 26.2 GFLOP of 3x3 convs per image, so the
-10k img/s/chip throughput target exceeds the v5e bf16 MXU peak — no bf16
-schedule can reach it (see PARITY.md perf table). The int8 MXU path can:
-measured per-conv int8 rates are 1.9-4.5x bf16 at VGG shapes, and the
-quantized descriptor matches bf16 to cosine > 0.9999 (tests + on-chip runs).
+Why (measured, round 2 — perf/_mmprobe3.log, docs/SPEEDLIGHT.md): on this
+chip/toolchain int8 matmuls sustain 138 TOP/s vs 141 TF/s bf16 — int8 has
+NO MXU throughput advantage here, so this path is NOT a route to the 10k
+img/s target (an earlier per-conv probe suggested otherwise; SPEEDLIGHT is
+authoritative). Its real value is memory: every inter-conv activation
+materializes as 1 byte instead of 2-4, cutting activation HBM footprint
+and traffic ~2-4x, which buys serving density (larger batches per chip,
+more resident models). Measured numbers live in PARITY.md ("quantized
+serving"). The quantized descriptor matches bf16 to cosine > 0.9999
+(tests + on-chip runs).
 
 Scheme (standard symmetric post-training quantization):
 

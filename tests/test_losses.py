@@ -269,6 +269,22 @@ def test_ms_loss_manual():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_ms_det_is_ms_without_mining():
+    # ms_det (reference model/losses.py:139-186) has an identical body to
+    # ms_loss but defaults mining OFF; the registry dispatches it that way.
+    emb = jnp.asarray(
+        [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]], jnp.float32
+    )
+    labels = jnp.asarray([0, 0, 1, 1])
+    got = float(ms_losses.ms_det_loss(labels, emb))
+    want = float(ms_losses.ms_loss(labels, emb, ms_mining=False))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # And it differs from mined ms on an example where mining prunes a pair:
+    # the mining rule drops positives easier than the hardest negative.
+    mined = float(ms_losses.ms_loss(labels, emb, ms_mining=True))
+    assert got != mined
+
+
 def test_wms_wfunctions_and_sumfunctions(rng):
     b = 6
     emb = jnp.asarray(rng.standard_normal((b, 4)), jnp.float32)
