@@ -1,0 +1,197 @@
+"""End-to-end TRAIN-LOOP throughput benchmark.
+
+Measures what `benchmark.py` (embed forward only) does not: the sustained
+training loop — sampler + image acquisition + prefetch + jitted step — at the
+flagship configuration, answering "does the P1 overlap actually hide host
+work behind the device?" (the reference's threaded pipeline exists exactly
+for this, reference train/train.py:941-975).
+
+Three numbers, printed as one JSON line:
+
+* ``sustained_step_ms``  wall time per train step over a full toy-city epoch,
+  with one-off costs (mining refresh, step-0 eval) subtracted via StepTimer
+  spans;
+* ``device_step_ms``     device-only step time, measured as a lax.scan of K
+  train steps over one resident batch inside a single jit (one host fetch —
+  the relay-safe pattern, .claude/skills/verify/SKILL.md);
+* ``device_busy_frac``   device_step_ms / sustained_step_ms — the fraction of
+  sustained wall time the chip is doing useful work. 1.0 = perfectly hidden
+  host pipeline.
+
+Run with and without the decoded-uint8 cache (data/decoded_cache.py) to see
+whether the host bound is decode (cache ON fixes it) or sampling itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def flagship_toy_config(tuples_per_batch: int, num_points: int):
+    from soft_contrastive_learning_tpu.core.config import (
+        LossConfig, ModelConfig, TrainConfig, TupleConfig,
+    )
+
+    # Flagship model + loss + tuple geometry (BASELINE.md train envelope:
+    # 180x240 input, 64-cluster NetVLAD, wms, 2 tuples x (1+12+12) = 50
+    # images/step), toy-city-sized cadences.
+    return TrainConfig(
+        model=ModelConfig(),  # 180x240, vlad 64, bf16 compute, pallas on
+        tuples=TupleConfig(),
+        loss=LossConfig(name="wms"),
+        tuples_per_batch=tuples_per_batch,
+        max_epoch=1,
+        mining_step=250,
+        mining_cache_size=min(1000, num_points),
+        eval_step=10**8,  # fires once at step 0 (0 % K == 0), then never
+        save_step=10**8,
+        num_eval_queries=10,
+        eval_ref_r=5,
+        train_ref_r=1,
+        seed=7,
+    )
+
+
+def run(
+    tuples_per_batch: int = 2,
+    num_points: int = 600,
+    use_cache: bool = True,
+    scan_iters: int = 50,
+    out_dir: Optional[str] = None,
+    cfg=None,  # override for small-shape CI smoke runs (tests/)
+) -> dict:
+    from soft_contrastive_learning_tpu.data.decoded_cache import (
+        CachedDecodedSource, cache_training_sets,
+    )
+    from soft_contrastive_learning_tpu.data.pipeline import (
+        ToyCitySource, assemble_batch,
+    )
+    from soft_contrastive_learning_tpu.parallel.mesh import shard_batch
+    from soft_contrastive_learning_tpu.train.trainer import Trainer
+
+    if cfg is None:
+        cfg = flagship_toy_config(tuples_per_batch, num_points)
+    # ~8 m spacing keeps positives within the 15 m radius
+    radius = num_points * 8.0 / (2 * np.pi)
+    src = ToyCitySource(
+        num_points=num_points, radius=radius, seed=3,
+        img_h=cfg.model.image_height, img_w=cfg.model.image_width,
+    )
+
+    tmp = out_dir or tempfile.mkdtemp(prefix="scl_trainbench_")
+    cache_s = 0.0
+    if use_cache:
+        t0 = time.perf_counter()
+        cache_dir = os.path.join(tmp, "decoded_cache")
+        cache_training_sets(
+            src, ["train_ref", "test_ref"],
+            cfg.model.image_height, cfg.model.image_width,
+            keep_aspect=cfg.model.vlad_cores > 0, cache_dir=cache_dir,
+            cluster_sets=[("train_ref", cfg.eval_ref_r), ("test_ref", cfg.eval_ref_r)],
+        )
+        src = CachedDecodedSource(src, cache_dir)
+        cache_s = time.perf_counter() - t0
+
+    tr = Trainer(cfg, src, out_dir=os.path.join(tmp, "run"))
+
+    # ---- device-only step time: K chained steps in ONE jit, one fetch ----
+    meta = src.epoch_meta(cfg.local_ref_set, 0)
+    sampler = tr._sampler_for(meta, rng=np.random.default_rng(0))
+    anchors = src.anchor_indices(cfg.local_ref_set, cfg.train_ref_r, 0)
+    sample = sampler.sample(
+        np.asarray(anchors[:tuples_per_batch], dtype=int), use_hard=False,
+        cache=tr.mining_cache,
+    )
+    assert sample is not None
+    batch = assemble_batch(cfg, src, meta, sample.indices, sample.payload, 0)
+    device_batch = shard_batch(tr._augment_batch(batch, None), tr.mesh)
+
+    def chain(state, b):
+        def body(s, _):
+            s2, _m = tr.train_step(s, b)
+            return s2, ()
+
+        return jax.lax.scan(body, state, None, length=scan_iters)[0]
+
+    chained = jax.jit(chain)
+    warm_state = chained(tr.state, device_batch)
+    float(jnp.asarray(warm_state.step, jnp.float32))  # real fetch (relay-safe)
+    t0 = time.perf_counter()
+    warm_state = chained(warm_state, device_batch)
+    float(jnp.asarray(warm_state.step, jnp.float32))
+    device_step_s = (time.perf_counter() - t0) / scan_iters
+
+    # ---- sustained loop: one full epoch through the real trainer ----
+    t0 = time.perf_counter()
+    tr.train_one_epoch(0)
+    tr.metrics_logger.drain()
+    final_step = float(jnp.asarray(tr.state.step, jnp.float32))  # close async tail
+    wall_s = time.perf_counter() - t0
+
+    spans = tr.timer.summary()
+    one_off = sum(
+        spans.get(k, {}).get("total_s", 0.0)
+        for k in ("mining_refresh", "eval_loss", "eval_localization")
+    )
+    n_steps = int(final_step)
+    imgs_per_step = cfg.images_per_batch
+    sustained_step_s = (wall_s - one_off) / max(n_steps, 1)
+
+    result = {
+        "metric": "train_loop_throughput",
+        "value": round(imgs_per_step / sustained_step_s, 1),
+        "unit": "images/sec/chip",
+        "detail": {
+            "backend": jax.default_backend(),
+            "tuples_per_batch": tuples_per_batch,
+            "images_per_step": imgs_per_step,
+            "steps": n_steps,
+            "decoded_cache": use_cache,
+            "cache_build_s": round(cache_s, 2),
+            "epoch_wall_s": round(wall_s, 2),
+            "one_off_s": round(one_off, 2),
+            "sustained_step_ms": round(sustained_step_s * 1e3, 3),
+            "device_step_ms": round(device_step_s * 1e3, 3),
+            "device_busy_frac": round(device_step_s / sustained_step_s, 4),
+            "spans": {
+                k: round(v["total_s"], 2) for k, v in spans.items()
+            },
+        },
+    }
+    tr.close()
+    if out_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tuples_per_batch", type=int, default=2)
+    ap.add_argument("--num_points", type=int, default=600)
+    ap.add_argument("--no_cache", action="store_true")
+    ap.add_argument("--scan_iters", type=int, default=50)
+    ap.add_argument("--out_dir", default="")
+    args = ap.parse_args(argv)
+    res = run(
+        tuples_per_batch=args.tuples_per_batch,
+        num_points=args.num_points,
+        use_cache=not args.no_cache,
+        scan_iters=args.scan_iters,
+        out_dir=args.out_dir or None,
+    )
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

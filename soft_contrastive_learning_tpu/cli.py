@@ -114,6 +114,9 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_plots", action="store_true")
     p.add_argument("--task_id", type=int, default=0)
     p.add_argument("--queue", default="48h")
+    p.add_argument("--decoded_cache_root", default="",
+                   help="dir of a decoded-uint8 image cache written by "
+                        "'scl-tpu cache' (batch assembly becomes memcpy)")
 
 
 def config_from_args(args) -> "TrainConfig":
@@ -181,7 +184,15 @@ def cmd_train(args) -> int:
         # store_true flags render bare when True / drop when False; the
         # value-typed boolean flags (_bool_flag) must render an explicit
         # True/False value or the child's argparse rejects the bare flag.
-        store_true_flags = {"toy_city", "resume", "save_plots"}
+        # Derived from the parser itself so a future store_true train flag
+        # cannot fall out of sync with this serialization.
+        probe = argparse.ArgumentParser()
+        _add_train_flags(probe)
+        store_true_flags = {
+            a.dest
+            for a in probe._actions
+            if isinstance(a, argparse._StoreTrueAction)
+        }
         params = []
         for k, v in vars(args).items():
             if k in ("task_id", "func", "command"):
@@ -221,6 +232,14 @@ def cmd_train(args) -> int:
         source = FilesystemSource(
             cfg.img_root, cfg.shuffled_root, cfg.anchor_root, cfg.loc_ref_root
         )
+    if args.decoded_cache_root:
+        # Serve geometry-normalized uint8 batches from the memmap written by
+        # `scl-tpu cache` (decode leaves the hot path; data/decoded_cache.py)
+        from soft_contrastive_learning_tpu.data.decoded_cache import (
+            CachedDecodedSource,
+        )
+
+        source = CachedDecodedSource(source, args.decoded_cache_root)
 
     warm_donor = None
     if cfg.checkpoint:
@@ -496,9 +515,55 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.train:
+        import json as _json
+
+        from soft_contrastive_learning_tpu import bench_train
+
+        res = bench_train.run(
+            tuples_per_batch=args.tuples_per_batch,
+            num_points=args.num_points,
+            use_cache=not args.no_cache,
+        )
+        print(_json.dumps(res))
+        return 0
     from soft_contrastive_learning_tpu import benchmark
 
     benchmark.main()
+    return 0
+
+
+def cmd_cache(args) -> int:
+    """Write the decoded-uint8 image cache (data/decoded_cache.py): a prep
+    stage that moves image decode off the training hot path."""
+    from soft_contrastive_learning_tpu.data.decoded_cache import (
+        cache_training_sets,
+    )
+    from soft_contrastive_learning_tpu.data.pipeline import (
+        FilesystemSource, ToyCitySource,
+    )
+
+    if args.toy_city:
+        source = ToyCitySource(img_h=args.image_height, img_w=args.image_width)
+    else:
+        source = FilesystemSource(
+            args.img_root, args.shuffled_root, args.anchor_root,
+            args.loc_ref_root,
+        )
+    cluster_sets = []
+    for spec in (args.cluster_sets or "").split(","):
+        if spec:
+            name, r = spec.rsplit(":", 1)
+            cluster_sets.append((name, int(r)))
+    cache_training_sets(
+        source,
+        [s for s in args.sets.split(",") if s],
+        args.image_height, args.image_width,
+        keep_aspect=args.vlad_cores > 0,
+        cache_dir=args.cache_dir,
+        cluster_sets=cluster_sets,
+        num_workers=args.num_workers,
+    )
     return 0
 
 
@@ -613,7 +678,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("bench", help="embedding-throughput benchmark")
+    p.add_argument("--train", action="store_true",
+                   help="end-to-end train-loop throughput (sampler + decode/"
+                        "cache + prefetch + step) instead of the embed bench")
+    p.add_argument("--tuples_per_batch", type=int, default=2)
+    p.add_argument("--num_points", type=int, default=600)
+    p.add_argument("--no_cache", action="store_true",
+                   help="decode images in the producer instead of the "
+                        "decoded-uint8 cache")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser(
+        "cache", help="write the decoded-uint8 image cache (prep stage)"
+    )
+    p.add_argument("--cache_dir", required=True)
+    p.add_argument("--sets", default="train_ref,test_ref",
+                   help="comma list of set names to cache")
+    p.add_argument("--cluster_sets", default="",
+                   help="comma list of cluster eval sets as name:r, "
+                        "e.g. train_ref:5,test_ref:5")
+    p.add_argument("--img_root", default="")
+    p.add_argument("--shuffled_root", default="")
+    p.add_argument("--anchor_root", default="")
+    p.add_argument("--loc_ref_root", default="")
+    p.add_argument("--toy_city", action="store_true")
+    p.add_argument("--image_height", type=int, default=180)
+    p.add_argument("--image_width", type=int, default=240)
+    p.add_argument("--vlad_cores", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.set_defaults(func=cmd_cache)
 
     p = sub.add_parser(
         "parity",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import sys
 import threading
 import time
@@ -74,6 +75,101 @@ class MetricsWriter:
             return []
         with open(self._path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+class AsyncScalarLogger:
+    """Off-thread device->host scalar fetching for the train loop.
+
+    The loop's only per-step host syncs were ``float(metrics['loss'])`` and
+    ``int(state.step)`` — each a full host<->device round-trip, which on a
+    remote-attached TPU (50-80 ms RTT through this project's relay) costs
+    several device steps of wall clock. Submitting the DEVICE scalars here
+    keeps the main loop fully async: a worker thread drains the queue in
+    chunks, stacks each chunk's scalars into one device array, fetches it
+    with a single transfer per key (amortizing the RTT over the chunk), and
+    hands the floats to the write callback in submission order.
+
+    ``write_fn(step, values: Dict[str, float])`` runs on the worker thread.
+    Exceptions from it are re-raised on the next drain()/close().
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, write_fn, max_chunk: int = 64):
+        self._write = write_fn
+        self._max_chunk = max_chunk
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._pending = 0
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, step: int, scalars: Dict[str, Any]) -> None:
+        """``scalars`` values may be live device arrays; they are fetched on
+        the worker. Do not pass large arrays — scalars only."""
+        with self._cv:
+            self._pending += 1
+        self._q.put((step, scalars))
+
+    def _fetch_chunk(self, items):
+        import numpy as np
+
+        keys = list(items[0][1].keys())
+        cols: Dict[str, Any] = {}
+        for k in keys:
+            vals = [it[1].get(k) for it in items]
+            try:
+                import jax.numpy as jnp
+
+                cols[k] = np.asarray(jnp.stack(vals))  # one transfer per key
+            except Exception:
+                cols[k] = np.asarray([float(v) for v in vals])
+        for i, (step, _) in enumerate(items):
+            self._write(step, {k: float(cols[k][i]) for k in keys})
+
+    def _run(self):
+        done = False
+        while not done:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            items = [item]
+            while len(items) < self._max_chunk:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is self._SENTINEL:
+                    done = True
+                    break
+                items.append(nxt)
+            try:
+                self._fetch_chunk(items)
+            except BaseException as e:
+                self._err = e
+            finally:
+                with self._cv:
+                    self._pending -= len(items)
+                    self._cv.notify_all()
+
+    def drain(self) -> None:
+        """Block until every submitted scalar is written; re-raise worker
+        errors."""
+        with self._cv:
+            self._cv.wait_for(lambda: self._pending == 0)
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self, drain: bool = True) -> None:
+        if drain:
+            self.drain()
+        self._q.put(self._SENTINEL)
+        self._thread.join(timeout=10)
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 class StepTimer:

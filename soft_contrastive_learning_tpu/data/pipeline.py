@@ -134,10 +134,20 @@ def load_images_standard(
     scale+center-crop. Either way the output here is the static (H, W) the
     jitted step was compiled for."""
     h, w = cfg.model.image_height, cfg.model.image_width
+    keep_aspect = cfg.model.vlad_cores > 0
+
+    # Decoded-uint8 cache fast path (data/decoded_cache.py): batch assembly
+    # becomes pure memcpy, which is what keeps a low-core host from starving
+    # the chip. Sources without a matching cache fall through to decode.
+    fast = getattr(source, "load_images_normalized", None)
+    if fast is not None:
+        cached = fast(keys, h, w, keep_aspect)
+        if cached is not None:
+            return cached
 
     def one(key):
         return normalize_geometry(
-            source.load_image(key), h, w, keep_aspect=cfg.model.vlad_cores > 0
+            source.load_image(key), h, w, keep_aspect=keep_aspect
         )
 
     if pool is not None:

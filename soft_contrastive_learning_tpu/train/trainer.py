@@ -30,7 +30,9 @@ import jax
 import numpy as np
 
 from soft_contrastive_learning_tpu.core.config import TrainConfig
-from soft_contrastive_learning_tpu.core.logging import MetricsWriter, RunLogger, StepTimer
+from soft_contrastive_learning_tpu.core.logging import (
+    AsyncScalarLogger, MetricsWriter, RunLogger, StepTimer,
+)
 from soft_contrastive_learning_tpu.checkpoints.manager import (
     RunCheckpoints,
     numpy_rng_from_array,
@@ -139,9 +141,14 @@ class Trainer:
         self.start_epoch = 0
         self._current_epoch = 0
         self._seg_ctx = None  # live segment position for mid-epoch checkpoints
+        self._last_eval_ordinal = 0  # highest eval-query window fired so far
         self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
+        # Per-step loss/LR logging without blocking the dispatch loop: the
+        # device scalars are fetched (chunk-stacked, one transfer per key) on
+        # a worker thread. See core/logging.py::AsyncScalarLogger.
+        self.metrics_logger = AsyncScalarLogger(self._write_train_metrics)
         # jax.profiler trace of the first N steps (SURVEY.md §5 tracing:
         # replaces the reference's ad-hoc stage prints with a real profile).
         self._profile_steps = profile_steps
@@ -381,6 +388,7 @@ class Trainer:
                 "epoch", epoch, self.state, self._pca_sd(), self._loss_pca_sd(),
                 self._extras(),
             )
+        self.metrics_logger.drain()
         self.ckpts.wait()
 
     def _pca_sd(self):
@@ -573,23 +581,20 @@ class Trainer:
                         self._augment_batch(batch, snaps), self.mesh
                     )
                     self.state, metrics = self.train_step(self.state, device_batch)
-                    loss = float(metrics["loss"])
                 self.used_images.update(used)
-                self.global_step = int(self.state.step)
+                # Host-side step counter: state.step increments by exactly 1
+                # per train_step, so counting here avoids a device fetch (a
+                # full relay RTT) in the hot loop; resume re-seeds it from
+                # the restored state.step (resume_latest).
+                self.global_step += 1
+                scalars = {
+                    "loss": metrics["loss"],
+                    "learning_rate": metrics["learning_rate"],
+                }
                 if self.cfg.loss.pn_loss:
-                    self.log(
-                        f"Train batch loss pos: {float(metrics['loss_pos'])} "
-                        f"neg: {float(metrics['loss_neg'])}"
-                    )
-                else:
-                    self.log(f"Train batch loss: {loss}")
-                self.writers["local"].scalars(
-                    {
-                        "loss": loss,
-                        "learning_rate": float(metrics["learning_rate"]),
-                    },
-                    self.global_step,
-                )
+                    scalars["loss_pos"] = metrics["loss_pos"]
+                    scalars["loss_neg"] = metrics["loss_neg"]
+                self.metrics_logger.submit(self.global_step, scalars)
                 with self.timer.span("pca_update"):
                     has_in = ("pca_in" in metrics) or ("loss_pca_in" in metrics)
                     if updater is not None and has_in:
@@ -628,8 +633,23 @@ class Trainer:
                 if updater is not None:
                     updater.close()
                 self._updater = None
+                self.metrics_logger.drain()
             seg_start = seg_end
         self._seg_ctx = None
+
+    def _write_train_metrics(self, step: int, vals: Dict[str, float]) -> None:
+        """AsyncScalarLogger sink (worker thread): per-step loss prints +
+        JSONL scalars, same records as the previous synchronous path."""
+        if "loss_pos" in vals:
+            self.log(
+                f"Train batch loss pos: {vals['loss_pos']} "
+                f"neg: {vals['loss_neg']}"
+            )
+        else:
+            self.log(f"Train batch loss: {vals['loss']}")
+        self.writers["local"].scalars(
+            {"loss": vals["loss"], "learning_rate": vals["learning_rate"]}, step
+        )
 
     def _run_eval(self, epoch: int, eval_ordinal: Optional[int] = None) -> None:
         """``eval_ordinal`` indexes the rolling eval-query windows. It counts
@@ -639,14 +659,23 @@ class Trainer:
         replay each query window tuples_per_batch times; fixed like the
         other latent reference bugs (PARITY.md)."""
         self.log("EVALUATING")
+        # flush per-step logging first: keeps the JSONL stream ordered ahead
+        # of the eval scalars and surfaces any pending worker error here
+        self.metrics_logger.drain()
         if self._updater is not None:
             # Checkpoint/eval reads of the live PCA objects need every
             # submitted update applied (this also floors subsequent feeds,
             # keeping resumed and uninterrupted feed sequences identical).
             self._updater.drain()
         gs = self.global_step
-        if eval_ordinal is None:  # epoch-end eval: past the last window
-            eval_ordinal = gs // max(self.cfg.eval_step, 1)
+        if eval_ordinal is None:
+            # Epoch-end eval: advance PAST the last fired window. Floor
+            # division would replay the last in-loop window whenever the
+            # epoch ends between eval_step multiples; take the ceil and
+            # never go below one past the last fired ordinal.
+            step_ord = -(-gs // max(self.cfg.eval_step, 1))
+            eval_ordinal = max(step_ord, self._last_eval_ordinal + 1)
+        self._last_eval_ordinal = max(self._last_eval_ordinal, eval_ordinal)
         self.ckpts.save(
             "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
             self._extras(),
@@ -735,5 +764,9 @@ class Trainer:
             self._profiling = False
         self.ckpts.wait()
         self.ckpts.close()
+        try:
+            self.metrics_logger.close(drain=False)
+        except Exception as e:
+            self.log(f"metrics logger error at close: {e}")
         self._pool.shutdown(wait=False)
         self.log.close()
