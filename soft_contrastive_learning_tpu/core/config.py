@@ -190,6 +190,14 @@ class TrainConfig:
     other_ref_set: str = "test_ref"
     other_query_set: str = "test_query"
 
+    # Device-resident image pool (TPU-native; data/device_pool.py): keep the
+    # training set's decoded uint8 images in HBM and gather batches by index
+    # inside the jitted step. Removes the per-step host->device image
+    # transfer (the measured bottleneck on relay-attached chips) and the
+    # host decode bound. Auto-skipped when the set exceeds the byte budget.
+    device_image_pool: bool = True
+    device_pool_max_bytes: int = 4_000_000_000
+
     # Reproducibility + parallelism (TPU-native additions)
     seed: int = 42
     data_axis: str = "data"

@@ -21,19 +21,49 @@ from typing import Optional
 import numpy as np
 
 
+def neighbor_order(features):
+    """(C, D) float32 -> (C, C) int32: row i = cache positions sorted by
+    ascending embedding distance to member i.
+
+    Pure jax fn meant to run jitted ON DEVICE right after the mining embed:
+    the (C, C) Gram matmul that dominates host-side sorted-neighbor queries
+    (C x D flops PER anchor, ~40 ms at C=600, D=32768 on a 1-core host) is
+    one MXU matmul here, and the sampler's per-anchor query collapses to a
+    row lookup. Precision HIGHEST: the default TPU matmul truncates f32
+    operands to bf16, which reshuffles near-ties in the ordering (same issue
+    as the streaming top-k, docs/SPEEDLIGHT.md)."""
+    import jax.numpy as jnp
+
+    sq = jnp.sum(features * features, axis=1)
+    gram = jnp.dot(features, features.T, precision="highest",
+                   preferred_element_type=jnp.float32)
+    dists = sq[None, :] - 2.0 * gram  # + sq[:, None] = const per row
+    return jnp.argsort(dists, axis=1).astype(jnp.int32)
+
+
 class MiningCache:
     def __init__(self):
         self._lock = threading.Lock()
         self._features: Optional[np.ndarray] = None  # (C, D)
         self._indices: Optional[np.ndarray] = None  # (C,) dataset indices
         self._sq_norms: Optional[np.ndarray] = None
+        self._order: Optional[np.ndarray] = None  # (C, C) precomputed order
 
-    def refresh(self, features: np.ndarray, indices: np.ndarray) -> None:
+    def refresh(
+        self,
+        features: np.ndarray,
+        indices: np.ndarray,
+        order: Optional[np.ndarray] = None,
+    ) -> None:
+        """``order``: optional precomputed (C, C) sorted-position matrix from
+        ``neighbor_order`` (device). Without it queries fall back to the
+        per-anchor host matvec."""
         features = np.asarray(features, dtype=np.float32)
         with self._lock:
             self._features = features
             self._indices = np.asarray(indices)
             self._sq_norms = np.sum(features * features, axis=1)
+            self._order = None if order is None else np.asarray(order)
 
     @property
     def ready(self) -> bool:
@@ -50,6 +80,8 @@ class MiningCache:
             pos = np.flatnonzero(self._indices == dataset_index)
             if len(pos) == 0:
                 return None
+            if self._order is not None:
+                return self._indices[self._order[pos[0]]]
             q = self._features[pos[0]]
             # ||x - q||^2 = ||x||^2 - 2 x.q + const; const drops out of argsort
             order = np.argsort(self._sq_norms - 2.0 * (self._features @ q))

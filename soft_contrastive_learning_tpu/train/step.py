@@ -122,19 +122,30 @@ def _loss_from_output(
 
 
 def build_train_step(
-    cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn
-) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn,
+    image_pool: bool = False,
+) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Compile the full training step. Returned metrics dict contains
     'loss' (+ 'loss_pos'/'loss_neg' for PN losses), 'learning_rate', and
     'pca_in' / 'loss_pca_in' feature dumps for the host streaming-PCA updates
-    (empty (0,) arrays when inactive, keeping the output structure static)."""
+    (empty (0,) arrays when inactive, keeping the output structure static).
+
+    ``image_pool=True`` compiles the device-resident-pool variant with
+    signature ``(state, batch, pool)``: the batch carries ``image_idx``
+    (B,) int32 instead of ``images`` and the step gathers its images from
+    the HBM-resident uint8 pool (data/device_pool.py) — per-step host->
+    device traffic collapses to the indices + payload scalars."""
     tx = make_optimizer(cfg)
     pn = cfg.loss.pn_loss
 
     def select_total(res):
         return res.total
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                pool: Optional[jnp.ndarray] = None):
+        if image_pool:
+            batch = dict(batch)
+            batch["images"] = jnp.take(pool, batch["image_idx"], axis=0)
         lr = learning_rate(cfg, batch["epoch"])
         rng, dropout_rng = jax.random.split(state.rng)
         rngs = {"dropout": dropout_rng}
@@ -183,7 +194,9 @@ def build_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if image_pool:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(lambda s, b: step_fn(s, b), donate_argnums=(0,))
 
 
 def build_eval_loss_step(cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn):
@@ -208,6 +221,19 @@ def build_embed_step(cfg: TrainConfig, model: EmbeddingNet):
 
     @jax.jit
     def embed(params, images):
+        output, full_out = model.apply({"params": params}, images, train=False)
+        return output, full_out
+
+    return embed
+
+
+def build_embed_pool_step(cfg: TrainConfig, model: EmbeddingNet):
+    """build_embed_step over the device-resident image pool: the host sends
+    only (B,) indices; the gather runs in HBM."""
+
+    @jax.jit
+    def embed(params, idx, pool):
+        images = jnp.take(pool, idx, axis=0)
         output, full_out = model.apply({"params": params}, images, train=False)
         return output, full_out
 

@@ -27,6 +27,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from soft_contrastive_learning_tpu.core.config import TrainConfig
@@ -50,9 +51,10 @@ from soft_contrastive_learning_tpu.ops.topk import topk_l2
 from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
 from soft_contrastive_learning_tpu.pca.async_updater import AsyncPCAUpdater
 from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
-from soft_contrastive_learning_tpu.sampling.mining import MiningCache
+from soft_contrastive_learning_tpu.sampling.mining import MiningCache, neighbor_order
 from soft_contrastive_learning_tpu.sampling.tuples import TupleSampler
 from soft_contrastive_learning_tpu.train.step import (
+    build_embed_pool_step,
     build_embed_step,
     build_eval_loss_step,
     build_train_step,
@@ -122,10 +124,21 @@ class Trainer:
 
         loss_fn = build_loss(cfg.loss, cfg.tuples, cfg.tuples_per_batch)
         self.train_step = build_train_step(cfg, self.model, loss_fn)
+        self.train_step_pooled = build_train_step(
+            cfg, self.model, loss_fn, image_pool=True
+        )
         self.eval_loss_step = build_eval_loss_step(cfg, self.model, loss_fn)
         self.embed_step = build_embed_step(cfg, self.model)
+        self.embed_pool_step = build_embed_pool_step(cfg, self.model)
+        # Device-resident image pool (data/device_pool.py): built lazily at
+        # the first epoch, reused across epochs (the set is epoch-invariant;
+        # only row order changes). None until built; False = permanently
+        # unavailable (over budget / keys missing).
+        self._image_pool = None
+        self._pool_rows = None  # meta-row -> pool-row map for current epoch
 
         self.mining_cache = MiningCache()
+        self._neighbor_order = jax.jit(neighbor_order)
         self.pca = StreamingPCA(cfg.model.out_dim, cfg.forgetting_factor) \
             if cfg.model.reduction == "pca" else None
         self.loss_pca = StreamingPCA(cfg.loss.loss_dim, cfg.forgetting_factor) \
@@ -195,20 +208,38 @@ class Trainer:
         return batch
 
     def extract_features(
-        self, meta, indices: Sequence[int], full_feats: bool = False
-    ) -> np.ndarray:
+        self, meta, indices: Sequence[int], full_feats: bool = False,
+        keep_device: bool = False,
+    ):
         """Batched on-device embedding of ``meta`` rows ``indices``
-        (reference extract_features, train/train.py:1196-1213)."""
+        (reference extract_features, train/train.py:1196-1213).
+
+        ``keep_device=True`` additionally returns the per-chunk DEVICE
+        arrays (pre-whitening), so callers can run follow-up device compute
+        (e.g. the mining neighbor-order matmul) without re-uploading the
+        features through the host."""
         b = self.cfg.images_per_batch
         idx = pad_to_multiple(np.asarray(indices, dtype=int), b)
         feats = []
+        dev_chunks = []
+        pool = self._image_pool if self._image_pool not in (None, False) else None
         for start in range(0, len(idx), b):
             chunk = idx[start : start + b]
             keys = [(meta["date"][i], meta["folder"][i], meta["t"][i]) for i in chunk]
-            images = load_images_standard(self.source, keys, self.cfg, self._pool)
-            images = shard_batch(images, self.mesh)
-            output, full = self.embed_step(self.state.params, images)
-            feats.append(np.asarray(full if full_feats else output))
+            rows = pool.rows_for_keys(keys) if pool is not None else None
+            if rows is not None:
+                # device-pool path: ship (b,) indices, gather in HBM
+                output, full = self.embed_pool_step(
+                    self.state.params, shard_batch(rows, self.mesh), pool.array
+                )
+            else:
+                images = load_images_standard(self.source, keys, self.cfg, self._pool)
+                images = shard_batch(images, self.mesh)
+                output, full = self.embed_step(self.state.params, images)
+            sel = full if full_feats else output
+            if keep_device:
+                dev_chunks.append(sel)
+            feats.append(np.asarray(sel))
         feats = np.concatenate(feats)[: len(indices)]
         if (
             not full_feats
@@ -217,7 +248,10 @@ class Trainer:
             and self.cfg.model.reduction == "pca"
         ):
             feats = self.pca.whiten(feats)
-        return feats.astype(np.float32)
+        feats = feats.astype(np.float32)
+        if keep_device:
+            return feats, dev_chunks
+        return feats
 
     # ------------------------------------------------------------ mining
     def _mining_refresh(
@@ -239,7 +273,9 @@ class Trainer:
         mine_idx = np.concatenate([window, upcoming])
 
         full_feats = cfg.model.reduction == "pca"
-        feats = self.extract_features(meta, mine_idx, full_feats=full_feats)
+        feats, dev_chunks = self.extract_features(
+            meta, mine_idx, full_feats=full_feats, keep_device=True
+        )
 
         if self.pca is not None:
             if not self.pca.initialized:
@@ -256,7 +292,22 @@ class Trainer:
             else:
                 self.loss_pca.init(feats)
 
-        self.mining_cache.refresh(feats, mine_idx)
+        # Sorted-neighbor order ON DEVICE (sampling/mining.py::neighbor_order):
+        # one Gram matmul + argsort at refresh time replaces a C x D host
+        # matvec per anchor in the hot loop. The whitened (pca) path uploads
+        # the small whitened matrix; otherwise the embed chunks are still
+        # resident on device and nothing re-crosses the relay.
+        try:
+            if self.pca is not None and self.pca.initialized:
+                dev_feats = jnp.asarray(feats)
+            else:
+                dev_feats = jnp.concatenate(dev_chunks)[: len(mine_idx)]
+            order = np.asarray(self._neighbor_order(dev_feats))
+        except Exception as e:  # fall back to host matvec queries
+            self.log(f"device neighbor-order failed ({e}); host fallback")
+            order = None
+
+        self.mining_cache.refresh(feats, mine_idx, order=order)
 
     # ------------------------------------------------------------ eval
     def _eval_loss_other(
@@ -437,10 +488,39 @@ class Trainer:
             ),
         }
 
+    def _ensure_image_pool(self, meta) -> None:
+        """Build (once) / remap (per epoch) the device-resident image pool.
+        Leaves ``self._pool_rows`` None when unavailable — every consumer
+        falls back to the host feed path."""
+        cfg = self.cfg
+        self._pool_rows = None
+        if not cfg.device_image_pool or self._image_pool is False:
+            return
+        if self._image_pool is None:
+            from soft_contrastive_learning_tpu.data.device_pool import build_pool
+
+            with self.timer.span("pool_build"):
+                pool = build_pool(
+                    self.source, meta, cfg, mesh=self.mesh,
+                    max_bytes=cfg.device_pool_max_bytes, log=self.log,
+                )
+            self._image_pool = pool if pool is not None else False
+            if self._image_pool is False:
+                return
+        rows = self._image_pool.rows_for_meta(meta)
+        if rows is None:
+            # set contents changed under us (custom source) — rebuild once
+            self.log("image pool stale (unknown keys); rebuilding")
+            self._image_pool = None
+            self._ensure_image_pool(meta)
+            return
+        self._pool_rows = rows
+
     def train_one_epoch(self, epoch: int, resume_ctx: Optional[dict] = None) -> None:
         cfg = self.cfg
         self._current_epoch = epoch
         meta = self.source.epoch_meta(cfg.local_ref_set, epoch)
+        self._ensure_image_pool(meta)
         anchor_indices = np.asarray(
             self.source.anchor_indices(cfg.local_ref_set, cfg.train_ref_r, epoch),
             dtype=int,
@@ -535,15 +615,27 @@ class Trainer:
                 self._seg_ctx["consumed"] = offset
                 skip_items = 0
 
+            pool_rows = self._pool_rows
+
             def build(i: int, _offset=offset, _sample_for=sample_for,
-                      _steps=seg_steps):
+                      _steps=seg_steps, _pool_rows=pool_rows):
                 sample = _sample_for(i + _offset)
                 if sample is None:
                     return None
-                batch = assemble_batch(
-                    cfg, self.source, meta, sample.indices, sample.payload,
-                    epoch, self._pool,
-                )
+                if _pool_rows is not None:
+                    # device-pool path: the batch is indices + payload only
+                    batch = {
+                        "image_idx": _pool_rows[
+                            sample.indices.reshape(-1)
+                        ].astype(np.int32),
+                        "epoch": np.float32(epoch),
+                    }
+                    batch.update(sample.payload)
+                else:
+                    batch = assemble_batch(
+                        cfg, self.source, meta, sample.indices, sample.payload,
+                        epoch, self._pool,
+                    )
                 return batch, sample.used_indices
 
             consumed = 0
@@ -580,7 +672,14 @@ class Trainer:
                     device_batch = shard_batch(
                         self._augment_batch(batch, snaps), self.mesh
                     )
-                    self.state, metrics = self.train_step(self.state, device_batch)
+                    if pool_rows is not None:
+                        self.state, metrics = self.train_step_pooled(
+                            self.state, device_batch, self._image_pool.array
+                        )
+                    else:
+                        self.state, metrics = self.train_step(
+                            self.state, device_batch
+                        )
                 self.used_images.update(used)
                 # Host-side step counter: state.step increments by exactly 1
                 # per train_step, so counting here avoids a device fetch (a
