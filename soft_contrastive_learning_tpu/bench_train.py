@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def flagship_toy_config(tuples_per_batch: int, num_points: int):
+def flagship_toy_config(tuples_per_batch: int, num_points: int,
+                        steps_per_dispatch: int = 1):
     from soft_contrastive_learning_tpu.core.config import (
         LossConfig, ModelConfig, TrainConfig, TupleConfig,
     )
@@ -57,6 +58,7 @@ def flagship_toy_config(tuples_per_batch: int, num_points: int):
         num_eval_queries=10,
         eval_ref_r=5,
         train_ref_r=1,
+        steps_per_dispatch=steps_per_dispatch,
         seed=7,
     )
 
@@ -68,6 +70,7 @@ def run(
     scan_iters: int = 50,
     out_dir: Optional[str] = None,
     cfg=None,  # override for small-shape CI smoke runs (tests/)
+    steps_per_dispatch: int = 1,
 ) -> dict:
     from soft_contrastive_learning_tpu.data.decoded_cache import (
         CachedDecodedSource, cache_training_sets,
@@ -79,7 +82,8 @@ def run(
     from soft_contrastive_learning_tpu.train.trainer import Trainer
 
     if cfg is None:
-        cfg = flagship_toy_config(tuples_per_batch, num_points)
+        cfg = flagship_toy_config(tuples_per_batch, num_points,
+                                  steps_per_dispatch)
     # ~8 m spacing keeps positives within the 15 m radius
     radius = num_points * 8.0 / (2 * np.pi)
     src = ToyCitySource(
@@ -153,6 +157,8 @@ def run(
         "detail": {
             "backend": jax.default_backend(),
             "tuples_per_batch": tuples_per_batch,
+            "steps_per_dispatch": cfg.steps_per_dispatch,
+            "device_image_pool": bool(tr._image_pool not in (None, False)),
             "images_per_step": imgs_per_step,
             "steps": n_steps,
             "decoded_cache": use_cache,
@@ -181,6 +187,7 @@ def main(argv=None) -> None:
     ap.add_argument("--num_points", type=int, default=600)
     ap.add_argument("--no_cache", action="store_true")
     ap.add_argument("--scan_iters", type=int, default=50)
+    ap.add_argument("--steps_per_dispatch", type=int, default=1)
     ap.add_argument("--out_dir", default="")
     args = ap.parse_args(argv)
     res = run(
@@ -189,6 +196,7 @@ def main(argv=None) -> None:
         use_cache=not args.no_cache,
         scan_iters=args.scan_iters,
         out_dir=args.out_dir or None,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     print(json.dumps(res))
 

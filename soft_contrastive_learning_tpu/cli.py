@@ -117,6 +117,14 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--decoded_cache_root", default="",
                    help="dir of a decoded-uint8 image cache written by "
                         "'scl-tpu cache' (batch assembly becomes memcpy)")
+    p.add_argument("--device_image_pool", type=_bool_flag, default=True,
+                   help="keep the training set's images resident in HBM and "
+                        "gather batches by index inside the jitted step")
+    p.add_argument("--device_pool_max_bytes", type=int, default=4_000_000_000)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="fuse K consecutive train steps into one on-device "
+                        "scan per dispatch (amortizes per-call transfer/"
+                        "dispatch floors; exact)")
 
 
 def config_from_args(args) -> "TrainConfig":
@@ -163,6 +171,9 @@ def config_from_args(args) -> "TrainConfig":
         local_ref_set=args.local_ref_set, local_query_set=args.local_query_set,
         other_ref_set=args.other_ref_set, other_query_set=args.other_query_set,
         seed=args.seed, num_data_shards=args.num_data_shards,
+        device_image_pool=args.device_image_pool,
+        device_pool_max_bytes=args.device_pool_max_bytes,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
 
@@ -524,6 +535,7 @@ def cmd_bench(args) -> int:
             tuples_per_batch=args.tuples_per_batch,
             num_points=args.num_points,
             use_cache=not args.no_cache,
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         print(_json.dumps(res))
         return 0
@@ -686,6 +698,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no_cache", action="store_true",
                    help="decode images in the producer instead of the "
                         "decoded-uint8 cache")
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.set_defaults(func=cmd_bench)
 
     p = sub.add_parser(

@@ -197,6 +197,14 @@ class TrainConfig:
     # host decode bound. Auto-skipped when the set exceeds the byte budget.
     device_image_pool: bool = True
     device_pool_max_bytes: int = 4_000_000_000
+    # K-step fused dispatch (train/step.py::build_train_step_scan): stack K
+    # consecutive batches and run them as one on-device lax.scan per
+    # dispatch, amortizing the per-call host->device transfer floor and
+    # dispatch overhead (dominant on relay-attached chips). 1 = off.
+    # Exact: K fused steps == K sequential steps. Auto-disabled for
+    # incremental losses / pca reduction (per-step host state feedback)
+    # and around eval/save/mining boundaries.
+    steps_per_dispatch: int = 1
 
     # Reproducibility + parallelism (TPU-native additions)
     seed: int = 42

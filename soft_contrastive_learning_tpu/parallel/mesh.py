@@ -69,6 +69,25 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_batch_stacked(batch: Any, mesh: Optional[Mesh]) -> Any:
+    """shard_batch for K-step fused dispatch: leaves are stacked to
+    (K, batch, ...), so the DATA axis is dim 1 — shard that, replicate the
+    scan axis and everything that doesn't divide."""
+    if mesh is None:
+        return jax.device_put(batch)
+    n_data = mesh.shape[DATA_AXIS]
+    data_s = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl_s = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 2 and x.shape[1] % n_data == 0 and x.shape[1] > 0:
+            return jax.device_put(x, data_s)
+        return jax.device_put(x, repl_s)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Pad with repeats of row 0 so shape[axis] % multiple == 0 (static shapes;
     the reference pads eval/mining batches the same way,

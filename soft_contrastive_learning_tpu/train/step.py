@@ -135,6 +135,15 @@ def build_train_step(
     (B,) int32 instead of ``images`` and the step gathers its images from
     the HBM-resident uint8 pool (data/device_pool.py) — per-step host->
     device traffic collapses to the indices + payload scalars."""
+    step_fn = _make_step_fn(cfg, model, loss_fn, image_pool)
+    if image_pool:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(lambda s, b: step_fn(s, b), donate_argnums=(0,))
+
+
+def _make_step_fn(
+    cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn, image_pool: bool
+):
     tx = make_optimizer(cfg)
     pn = cfg.loss.pn_loss
 
@@ -194,9 +203,54 @@ def build_train_step(
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def build_train_step_scan(
+    cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn,
+    image_pool: bool = True,
+):
+    """K-step fused dispatch: ``(state, batches, pool?) -> (state, metrics)``
+    where every batch leaf is stacked to ``(K, ...)`` and the K train steps
+    run as one ``lax.scan`` inside one jit call; metrics come back stacked.
+
+    Why: on a relay-attached chip every host->device transfer pays a ~30 ms
+    per-CALL floor and every dispatch a few ms (perf probe, round 3) — at
+    K=1 those floors cost 2-3x the 40 ms device step. Fusing K steps
+    amortizes floor + dispatch K-fold while the device pipeline executes
+    group N as the host assembles group N+1. The scan body is the same
+    step_fn: K fused steps match K sequential singles (losses bitwise;
+    params to float-reassociation tolerance — XLA schedules the optimizer
+    update slightly differently under scan; tests/test_device_pool.py).
+
+    Not available for configs that feed host state back per step
+    (incremental losses / pca reduction) — the trainer gates on that.
+    """
+    assert not cfg.loss.incremental and cfg.model.reduction != "pca", (
+        "fused multi-step dispatch requires a loop with no per-step host "
+        "state feedback (incremental losses / pca reduction excluded)"
+    )
+    step_fn = _make_step_fn(cfg, model, loss_fn, image_pool)
+
     if image_pool:
-        return jax.jit(step_fn, donate_argnums=(0,))
-    return jax.jit(lambda s, b: step_fn(s, b), donate_argnums=(0,))
+
+        def scan_fn(state, batches, pool):
+            def body(s, b):
+                s2, m = step_fn(s, b, pool)
+                return s2, m
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.jit(scan_fn, donate_argnums=(0,))
+
+    def scan_fn_host(state, batches):
+        def body(s, b):
+            s2, m = step_fn(s, b)
+            return s2, m
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(scan_fn_host, donate_argnums=(0,))
 
 
 def build_eval_loss_step(cfg: TrainConfig, model: EmbeddingNet, loss_fn: LossFn):

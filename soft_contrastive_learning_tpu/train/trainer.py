@@ -48,7 +48,9 @@ from soft_contrastive_learning_tpu.data.pipeline import (
 from soft_contrastive_learning_tpu.losses.registry import build_loss
 from soft_contrastive_learning_tpu.models.model import create_model, init_params
 from soft_contrastive_learning_tpu.ops.topk import topk_l2
-from soft_contrastive_learning_tpu.parallel.mesh import pad_to_multiple, shard_batch
+from soft_contrastive_learning_tpu.parallel.mesh import (
+    pad_to_multiple, shard_batch, shard_batch_stacked,
+)
 from soft_contrastive_learning_tpu.pca.async_updater import AsyncPCAUpdater
 from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
 from soft_contrastive_learning_tpu.sampling.mining import MiningCache, neighbor_order
@@ -58,6 +60,7 @@ from soft_contrastive_learning_tpu.train.step import (
     build_embed_step,
     build_eval_loss_step,
     build_train_step,
+    build_train_step_scan,
     init_train_state,
 )
 from soft_contrastive_learning_tpu.launch.multihost import is_primary
@@ -127,6 +130,22 @@ class Trainer:
         self.train_step_pooled = build_train_step(
             cfg, self.model, loss_fn, image_pool=True
         )
+        # K-step fused dispatch (cfg.steps_per_dispatch > 1): only for loops
+        # with no per-step host state feedback; boundaries fall back to the
+        # single-step executables above.
+        self.train_step_scan = None
+        self.train_step_scan_pooled = None
+        if (
+            cfg.steps_per_dispatch > 1
+            and not cfg.loss.incremental
+            and cfg.model.reduction != "pca"
+        ):
+            self.train_step_scan = build_train_step_scan(
+                cfg, self.model, loss_fn, image_pool=False
+            )
+            self.train_step_scan_pooled = build_train_step_scan(
+                cfg, self.model, loss_fn, image_pool=True
+            )
         self.eval_loss_step = build_eval_loss_step(cfg, self.model, loss_fn)
         self.embed_step = build_embed_step(cfg, self.model)
         self.embed_pool_step = build_embed_pool_step(cfg, self.model)
@@ -639,34 +658,40 @@ class Trainer:
                 return batch, sample.used_indices
 
             consumed = 0
-            prefetcher = Prefetcher(build, len(seg_steps) - offset)
-            try:
-              for item in prefetcher:
-                abs_step = int(seg_steps[offset + consumed])
-                consumed += 1
-                # items fully processed so far (the current one re-trains on
-                # resume; its eval/save are suppressed by the resume path)
-                self._seg_ctx["consumed"] = offset + consumed - 1
-                side_effects = not suppress_side_effects_once
-                suppress_side_effects_once = False
-                if side_effects and abs_step % cfg.eval_step == 0:
-                    self._run_eval(epoch, abs_step // max(cfg.eval_step, 1))
-                if side_effects and abs_step % cfg.save_step == 0:
-                    if updater is not None:
-                        updater.drain()
-                    self.ckpts.save(
-                        "part", self.global_step, self.state,
-                        self._pca_sd(), self._loss_pca_sd(), self._extras(),
-                    )
-                if item is None:
-                    self.log("Faulty training batch... skipping.")
-                    continue
-                batch, used = item
+            n_items = len(seg_steps) - offset
+            prefetcher = Prefetcher(build, n_items)
+            K = max(int(cfg.steps_per_dispatch), 1)
+            fused_ok = K > 1 and self.train_step_scan is not None
+
+            def maybe_profile_start():
                 if self._profile_steps > 0 and not self._profiling:
                     import jax.profiler
 
                     jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
                     self._profiling = True
+
+            def maybe_profile_stop():
+                if self._profiling and self.global_step >= self._profile_steps:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self._profile_steps = 0
+
+            def submit_scalars(metrics, i=None):
+                pick = (lambda v: v if i is None else v[i])
+                scalars = {
+                    "loss": pick(metrics["loss"]),
+                    "learning_rate": pick(metrics["learning_rate"]),
+                }
+                if self.cfg.loss.pn_loss:
+                    scalars["loss_pos"] = pick(metrics["loss_pos"])
+                    scalars["loss_neg"] = pick(metrics["loss_neg"])
+                self.metrics_logger.submit(self.global_step, scalars)
+
+            def process_single(item):
+                batch, used = item
+                maybe_profile_start()
                 with self.timer.span("train_step"):
                     snaps = updater.feed_states() if updater is not None else None
                     device_batch = shard_batch(
@@ -686,14 +711,7 @@ class Trainer:
                 # full relay RTT) in the hot loop; resume re-seeds it from
                 # the restored state.step (resume_latest).
                 self.global_step += 1
-                scalars = {
-                    "loss": metrics["loss"],
-                    "learning_rate": metrics["learning_rate"],
-                }
-                if self.cfg.loss.pn_loss:
-                    scalars["loss_pos"] = metrics["loss_pos"]
-                    scalars["loss_neg"] = metrics["loss_neg"]
-                self.metrics_logger.submit(self.global_step, scalars)
+                submit_scalars(metrics)
                 with self.timer.span("pca_update"):
                     has_in = ("pca_in" in metrics) or ("loss_pca_in" in metrics)
                     if updater is not None and has_in:
@@ -707,13 +725,96 @@ class Trainer:
                             self.pca.update(np.asarray(metrics["pca_in"]))
                         if self.loss_pca is not None and "loss_pca_in" in metrics:
                             self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
-                self._seg_ctx["consumed"] = offset + consumed
-                if self._profiling and self.global_step >= self._profile_steps:
-                    import jax.profiler
+                maybe_profile_stop()
 
-                    jax.profiler.stop_trace()
-                    self._profiling = False
-                    self._profile_steps = 0
+            def process_group(items):
+                # K-step fused dispatch (train/step.py::build_train_step_scan):
+                # leaves stacked to (K, ...), one transfer set + one scan call.
+                maybe_profile_start()
+                with self.timer.span("train_step"):
+                    stacked = {
+                        k: np.stack([b[k] for b, _ in items])
+                        for k in items[0][0]
+                    }
+                    device_batch = shard_batch_stacked(stacked, self.mesh)
+                    if pool_rows is not None:
+                        self.state, ms = self.train_step_scan_pooled(
+                            self.state, device_batch, self._image_pool.array
+                        )
+                    else:
+                        self.state, ms = self.train_step_scan(
+                            self.state, device_batch
+                        )
+                for _, used in items:
+                    self.used_images.update(used)
+                for i in range(len(items)):
+                    self.global_step += 1
+                    submit_scalars(ms, i)
+                maybe_profile_stop()
+
+            def boundary(j: int) -> bool:
+                """Does item j host an eval/save event (processed singly)?"""
+                s = int(seg_steps[j])
+                return s % cfg.eval_step == 0 or s % cfg.save_step == 0
+
+            it = iter(prefetcher)
+            _NO_ITEM = object()
+            pending = _NO_ITEM
+            try:
+                while True:
+                    if pending is _NO_ITEM:
+                        try:
+                            pending = next(it)
+                        except StopIteration:
+                            break
+                    abs_step = int(seg_steps[offset + consumed])
+                    # items fully processed so far (the current one re-trains
+                    # on resume; its eval/save are suppressed by resume)
+                    self._seg_ctx["consumed"] = offset + consumed
+                    side_effects = not suppress_side_effects_once
+                    suppress_side_effects_once = False
+                    if side_effects and abs_step % cfg.eval_step == 0:
+                        self._run_eval(epoch, abs_step // max(cfg.eval_step, 1))
+                    if side_effects and abs_step % cfg.save_step == 0:
+                        if updater is not None:
+                            updater.drain()
+                        self.ckpts.save(
+                            "part", self.global_step, self.state,
+                            self._pca_sd(), self._loss_pca_sd(), self._extras(),
+                        )
+                    item, pending = pending, _NO_ITEM
+                    if item is None:
+                        self.log("Faulty training batch... skipping.")
+                        consumed += 1
+                        self._seg_ctx["consumed"] = offset + consumed
+                        continue
+                    # Form a full K-group only when K boundary-free items
+                    # remain (shorter groups would each compile a new scan
+                    # length; stragglers run on the single-step executable).
+                    group = [item]
+                    if fused_ok:
+                        j0 = offset + consumed
+                        room = all(
+                            j0 + i < len(seg_steps) and not boundary(j0 + i)
+                            for i in range(1, K)
+                        )
+                        while room and len(group) < K:
+                            try:
+                                nxt = next(it)
+                            except StopIteration:
+                                break
+                            if nxt is None:
+                                pending = None  # faulty: handle after group
+                                break
+                            group.append(nxt)
+                    if len(group) == K and fused_ok:
+                        process_group(group)
+                        consumed += K
+                    else:
+                        for g in group:
+                            process_single(g)
+                            consumed += 1
+                    self._seg_ctx["consumed"] = offset + consumed
             except BaseException:
                 # Early exit: unblock the producer thread (it would otherwise
                 # stay parked on the bounded queue holding decoded batches),

@@ -81,6 +81,66 @@ def test_pooled_step_matches_host_step(tiny_cfg):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_fused_scan_matches_sequential_singles(tiny_cfg):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from soft_contrastive_learning_tpu.train.step import build_train_step_scan
+
+    cfg = dataclasses.replace(tiny_cfg, steps_per_dispatch=3)
+    model, params, loss_fn = _setup(cfg)
+    b = cfg.images_per_batch
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (b * 3 + 1, 32, 32, 3)).astype(np.uint8)
+
+    single = build_train_step(cfg, model, loss_fn, image_pool=True)
+    fused = build_train_step_scan(cfg, model, loss_fn, image_pool=True)
+
+    def mk_batch(i):
+        idx = np.arange(i, i + b, dtype=np.int32)
+        geo = np.abs(np.random.default_rng(i).random((b, b))).astype(np.float32) * 30
+        return {"image_idx": idx, "epoch": np.float32(0.0),
+                "geo_dist_matrix": geo}
+
+    batches = [mk_batch(i) for i in range(3)]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    s1 = init_train_state(cfg, copy(params))
+    losses_seq = []
+    for bt in batches:
+        s1, m = single(s1, bt, images)
+        losses_seq.append(np.asarray(m["loss"]))
+
+    s2 = init_train_state(cfg, copy(params))
+    stacked = {k: np.stack([bt[k] for bt in batches]) for k in batches[0]}
+    s2, ms = fused(s2, stacked, images)
+
+    np.testing.assert_array_equal(np.asarray(ms["loss"]), np.stack(losses_seq))
+    assert int(s2.step) == 3
+    # params agree to float reassociation (XLA schedules the Adam update
+    # slightly differently inside scan; losses above are bitwise equal)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_fused_scan_refuses_incremental(tiny_cfg):
+    import dataclasses
+
+    from soft_contrastive_learning_tpu.train.step import build_train_step_scan
+
+    cfg = dataclasses.replace(
+        tiny_cfg, loss=LossConfig(name="incremental_det"), steps_per_dispatch=4
+    )
+    model, params, _ = _setup(tiny_cfg)
+    loss_fn = build_loss(cfg.loss, cfg.tuples, cfg.tuples_per_batch)
+    with pytest.raises(AssertionError):
+        build_train_step_scan(cfg, model, loss_fn)
+
+
 def test_embed_pool_step_matches_embed_step(tiny_cfg):
     model, params, loss_fn = _setup(tiny_cfg)
     rng = np.random.default_rng(1)
