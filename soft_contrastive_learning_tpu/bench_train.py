@@ -91,7 +91,10 @@ def run(
         img_h=cfg.model.image_height, img_w=cfg.model.image_width,
     )
 
-    tmp = out_dir or tempfile.mkdtemp(prefix="scl_trainbench_")
+    # fixed scratch dir: the decoded cache persists between bench runs
+    # (build_decoded_cache is idempotent); only the run dir is cleared
+    tmp = out_dir or "/tmp/scl_trainbench_shared"
+    shutil.rmtree(os.path.join(tmp, "run"), ignore_errors=True)
     cache_s = 0.0
     if use_cache:
         t0 = time.perf_counter()
@@ -134,21 +137,42 @@ def run(
     float(jnp.asarray(warm_state.step, jnp.float32))
     device_step_s = (time.perf_counter() - t0) / scan_iters
 
+    # ---- warm epoch: compile every executable the loop uses (single +
+    # fused + embed paths) so the timed epoch measures steady state, not
+    # the one-off remote compiles (~20 s each through the relay) ----
+    from soft_contrastive_learning_tpu.core.logging import StepTimer
+
+    tr.train_one_epoch(0)
+    tr.metrics_logger.drain()
+    float(jnp.asarray(tr.state.step, jnp.float32))
+    warm_steps = int(np.asarray(tr.state.step))
+    tr.timer = StepTimer()
+
     # ---- sustained loop: one full epoch through the real trainer ----
     t0 = time.perf_counter()
-    tr.train_one_epoch(0)
+    tr.train_one_epoch(1)
     tr.metrics_logger.drain()
     final_step = float(jnp.asarray(tr.state.step, jnp.float32))  # close async tail
     wall_s = time.perf_counter() - t0
+    final_step -= warm_steps
 
     spans = tr.timer.summary()
     one_off = sum(
         spans.get(k, {}).get("total_s", 0.0)
-        for k in ("mining_refresh", "eval_loss", "eval_localization")
+        for k in ("mining_refresh", "eval_loss", "eval_localization",
+                  "ckpt_save")
     )
     n_steps = int(final_step)
     imgs_per_step = cfg.images_per_batch
-    sustained_step_s = (wall_s - one_off) / max(n_steps, 1)
+    # Headline: the sync-to-sync segment windows (trainer 'segment_steady'
+    # span: dispatch loop + its device tail, minus in-segment eval/save) —
+    # the only honest sustained number under fully async dispatch. The
+    # wall-derived figure is kept in detail for reference.
+    steady = spans.get("segment_steady")
+    if steady and steady["count"]:
+        sustained_step_s = steady["total_s"] / steady["count"]
+    else:
+        sustained_step_s = (wall_s - one_off) / max(n_steps, 1)
 
     result = {
         "metric": "train_loop_throughput",
@@ -165,6 +189,9 @@ def run(
             "cache_build_s": round(cache_s, 2),
             "epoch_wall_s": round(wall_s, 2),
             "one_off_s": round(one_off, 2),
+            "wall_derived_step_ms": round(
+                (wall_s - one_off) / max(n_steps, 1) * 1e3, 3
+            ),
             "sustained_step_ms": round(sustained_step_s * 1e3, 3),
             "device_step_ms": round(device_step_s * 1e3, 3),
             "device_busy_frac": round(device_step_s / sustained_step_s, 4),
@@ -174,8 +201,6 @@ def run(
         },
     }
     tr.close()
-    if out_dir is None:
-        shutil.rmtree(tmp, ignore_errors=True)
     return result
 
 

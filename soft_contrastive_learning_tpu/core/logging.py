@@ -95,9 +95,19 @@ class AsyncScalarLogger:
 
     _SENTINEL = object()
 
-    def __init__(self, write_fn, max_chunk: int = 64):
+    def __init__(self, write_fn, max_chunk: int = 64,
+                 min_fetch_interval: float = 0.25):
+        """``min_fetch_interval``: minimum seconds between device fetches.
+        Measured on the relay (perf/_stage.log): a mid-stream D2H fetch
+        serializes with dispatch RPCs and costs ~26 ms of loop time per
+        step when fetched eagerly; throttling to one fetch per interval
+        amortizes that to noise while values still arrive within the
+        interval. drain() ignores the throttle."""
         self._write = write_fn
         self._max_chunk = max_chunk
+        self._min_interval = min_fetch_interval
+        self._last_fetch = 0.0
+        self._draining = threading.Event()
         self._q: "queue.Queue" = queue.Queue()
         self._err: Optional[BaseException] = None
         self._pending = 0
@@ -134,6 +144,11 @@ class AsyncScalarLogger:
             item = self._q.get()
             if item is self._SENTINEL:
                 return
+            # fetch throttle: wait out the interval (unless draining),
+            # letting more submissions accumulate into this chunk
+            wait = self._last_fetch + self._min_interval - time.monotonic()
+            if wait > 0 and not self._draining.is_set():
+                self._draining.wait(wait)
             items = [item]
             while len(items) < self._max_chunk:
                 try:
@@ -149,6 +164,7 @@ class AsyncScalarLogger:
             except BaseException as e:
                 self._err = e
             finally:
+                self._last_fetch = time.monotonic()
                 with self._cv:
                     self._pending -= len(items)
                     self._cv.notify_all()
@@ -156,8 +172,12 @@ class AsyncScalarLogger:
     def drain(self) -> None:
         """Block until every submitted scalar is written; re-raise worker
         errors."""
-        with self._cv:
-            self._cv.wait_for(lambda: self._pending == 0)
+        self._draining.set()  # bypass the fetch throttle
+        try:
+            with self._cv:
+                self._cv.wait_for(lambda: self._pending == 0)
+        finally:
+            self._draining.clear()
         if self._err is not None:
             err, self._err = self._err, None
             raise err
@@ -212,6 +232,13 @@ class StepTimer:
 
     def span(self, name: str) -> "StepTimer._Span":
         return StepTimer._Span(self, name)
+
+    def add(self, name: str, dt: float, count: int = 1) -> None:
+        """Record an externally measured duration (e.g. a segment window
+        assembled from sync points rather than a context manager)."""
+        with self._lock:
+            self._acc[name] = self._acc.get(name, 0.0) + dt
+            self._count[name] = self._count.get(name, 0) + count
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         with self._lock:

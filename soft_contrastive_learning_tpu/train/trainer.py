@@ -23,6 +23,7 @@ Capability parity with the reference's train()/train_one_epoch()
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -638,23 +639,24 @@ class Trainer:
 
             def build(i: int, _offset=offset, _sample_for=sample_for,
                       _steps=seg_steps, _pool_rows=pool_rows):
-                sample = _sample_for(i + _offset)
-                if sample is None:
-                    return None
-                if _pool_rows is not None:
-                    # device-pool path: the batch is indices + payload only
-                    batch = {
-                        "image_idx": _pool_rows[
-                            sample.indices.reshape(-1)
-                        ].astype(np.int32),
-                        "epoch": np.float32(epoch),
-                    }
-                    batch.update(sample.payload)
-                else:
-                    batch = assemble_batch(
-                        cfg, self.source, meta, sample.indices, sample.payload,
-                        epoch, self._pool,
-                    )
+                with self.timer.span("host_build"):
+                    sample = _sample_for(i + _offset)
+                    if sample is None:
+                        return None
+                    if _pool_rows is not None:
+                        # device-pool path: batch is indices + payload only
+                        batch = {
+                            "image_idx": _pool_rows[
+                                sample.indices.reshape(-1)
+                            ].astype(np.int32),
+                            "epoch": np.float32(epoch),
+                        }
+                        batch.update(sample.payload)
+                    else:
+                        batch = assemble_batch(
+                            cfg, self.source, meta, sample.indices,
+                            sample.payload, epoch, self._pool,
+                        )
                 return batch, sample.used_indices
 
             consumed = 0
@@ -760,11 +762,23 @@ class Trainer:
             it = iter(prefetcher)
             _NO_ITEM = object()
             pending = _NO_ITEM
+            # Steady-state segment window: sync the device queue here, time
+            # through to the post-loop drain + sync, and subtract in-segment
+            # eval/save span time. Because dispatch is fully async, per-call
+            # spans can't see the device time — only sync-to-sync windows
+            # measure true sustained throughput ('segment_steady' span,
+            # consumed by bench_train).
+            np.asarray(self.state.step)  # sync point (one fetch)
+            seg_t0 = time.perf_counter()
+            seg_excl0 = self._span_total(
+                "eval_loss", "eval_localization", "ckpt_save"
+            )
             try:
                 while True:
                     if pending is _NO_ITEM:
                         try:
-                            pending = next(it)
+                            with self.timer.span("data_wait"):
+                                pending = next(it)
                         except StopIteration:
                             break
                     abs_step = int(seg_steps[offset + consumed])
@@ -776,12 +790,14 @@ class Trainer:
                     if side_effects and abs_step % cfg.eval_step == 0:
                         self._run_eval(epoch, abs_step // max(cfg.eval_step, 1))
                     if side_effects and abs_step % cfg.save_step == 0:
-                        if updater is not None:
-                            updater.drain()
-                        self.ckpts.save(
-                            "part", self.global_step, self.state,
-                            self._pca_sd(), self._loss_pca_sd(), self._extras(),
-                        )
+                        with self.timer.span("ckpt_save"):
+                            if updater is not None:
+                                updater.drain()
+                            self.ckpts.save(
+                                "part", self.global_step, self.state,
+                                self._pca_sd(), self._loss_pca_sd(),
+                                self._extras(),
+                            )
                     item, pending = pending, _NO_ITEM
                     if item is None:
                         self.log("Faulty training batch... skipping.")
@@ -800,7 +816,8 @@ class Trainer:
                         )
                         while room and len(group) < K:
                             try:
-                                nxt = next(it)
+                                with self.timer.span("data_wait"):
+                                    nxt = next(it)
                             except StopIteration:
                                 break
                             if nxt is None:
@@ -834,8 +851,21 @@ class Trainer:
                     updater.close()
                 self._updater = None
                 self.metrics_logger.drain()
+                np.asarray(self.state.step)  # absorb the device tail
+                excl = self._span_total(
+                    "eval_loss", "eval_localization", "ckpt_save"
+                ) - seg_excl0
+                self.timer.add(
+                    "segment_steady",
+                    time.perf_counter() - seg_t0 - excl,
+                    count=consumed,
+                )
             seg_start = seg_end
         self._seg_ctx = None
+
+    def _span_total(self, *names) -> float:
+        s = self.timer.summary()
+        return sum(s.get(n, {}).get("total_s", 0.0) for n in names)
 
     def _write_train_metrics(self, step: int, vals: Dict[str, float]) -> None:
         """AsyncScalarLogger sink (worker thread): per-step loss prints +
@@ -876,10 +906,11 @@ class Trainer:
             step_ord = -(-gs // max(self.cfg.eval_step, 1))
             eval_ordinal = max(step_ord, self._last_eval_ordinal + 1)
         self._last_eval_ordinal = max(self._last_eval_ordinal, eval_ordinal)
-        self.ckpts.save(
-            "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
-            self._extras(),
-        )
+        with self.timer.span("ckpt_save"):
+            self.ckpts.save(
+                "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
+                self._extras(),
+            )
         with self.timer.span("eval_loss"):
             self._eval_loss_other(epoch, gs, eval_ordinal)
         with self.timer.span("eval_localization"):
