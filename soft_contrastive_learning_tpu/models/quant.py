@@ -1,15 +1,18 @@
 """Post-training int8 quantization of the VGG16 conv stack (inference).
 
-Why (measured, round 2 — perf/_mmprobe3.log, docs/SPEEDLIGHT.md): on this
-chip/toolchain int8 matmuls sustain 138 TOP/s vs 141 TF/s bf16 — int8 has
-NO MXU throughput advantage here, so this path is NOT a route to the 10k
-img/s target (an earlier per-conv probe suggested otherwise; SPEEDLIGHT is
-authoritative). Its real value is memory: every inter-conv activation
-materializes as 1 byte instead of 2-4, cutting activation HBM footprint
-and traffic ~2-4x, which buys serving density (larger batches per chip,
-more resident models). Measured numbers live in PARITY.md ("quantized
-serving"). The quantized descriptor matches bf16 to cosine > 0.9999
-(tests + on-chip runs).
+Why (measured; history matters here): round 2 measured XLA int8 matmuls
+at 138 TOP/s = bf16 parity at 4096^3 and concluded "no MXU advantage";
+round 3 showed that conclusion does not transfer to the real workload —
+int8's edge is problem-size/shape dependent (185 TOP/s at 8192x4096x8192,
+perf/_mxu4.log), and the quantized embed measured **9.3-9.6k img/s vs
+5.5-5.9k bf16 (1.6-1.7x)** on this chip (perf/_quant_serving.log,
+PARITY.md "quantized serving") — the fastest measured route toward the
+10k img/s serving target. It ALSO halves activation memory: every
+inter-conv activation materializes as 1 byte instead of 2-4, cutting
+activation HBM footprint/traffic ~2-4x (11.6 vs 23.3/46.5 MB/img), which
+buys serving density. The quantized descriptor matches bf16 to
+cosine > 0.9999 (tests + on-chip runs); docs/SPEEDLIGHT.md is the full
+roofline story.
 
 Scheme (standard symmetric post-training quantization):
 
