@@ -55,7 +55,10 @@ def prefix_stack(vgg_params, scales, images, n_layers):
         blk = vgg_params[f"block{bi + 1}"]
         for si, (name, _, relu) in enumerate(specs):
             if idx == n_layers:
-                return a8.astype(jnp.float32)
+                # scalar reduce INSIDE the prefix: returning the activation
+                # itself forces a full-res f32 materialization (OOMs at
+                # bs=1024 on the early layers)
+                return jnp.max(a8).astype(jnp.float32)
             k8, sk = _quantize_weight(blk[name]["kernel"].astype(jnp.float32))
             bias = blk[name]["bias"].astype(jnp.float32)
             s_in = scales[CONV_NAMES[idx]]
@@ -78,14 +81,16 @@ def prefix_stack(vgg_params, scales, images, n_layers):
                 else:
                     a8 = _requant(y, s_next)
             idx += 1
-    return y
+    return jnp.max(y).astype(jnp.float32)
 
 
 def timeit_scan(fn, args):
     def many(*a):
         def body(c, _):
+            # fn must return a SCALAR (keeps the carried state tiny and
+            # avoids materializing full activations across scan iterations)
             r = fn(*a[:-1], a[-1] + (c * 1e-30).astype(a[-1].dtype))
-            return jnp.max(r[0]).astype(jnp.float32), ()
+            return r.astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return c
 
@@ -127,7 +132,8 @@ def main():
         prev = dt
 
     full = timeit_scan(
-        lambda p, im: quantized_embed(cfg, p, scales, im)[0], (params, x)
+        lambda p, im: quantized_embed(cfg, p, scales, im)[0][0, 0],
+        (params, x),
     )
     print(f"full embed          : {full / BS * 1e6:7.2f} us/img "
           f"({BS / full:7.1f} img/s)", flush=True)

@@ -68,7 +68,10 @@ class ModelConfig:
     # Exact packed-width block1 rewrite (ops/packed_stem.py). The packed conv
     # alone is ~1.5x faster on the MXU, but measured END TO END on v5e the
     # pack/repack data movement loses more than the matmul wins (5.9k -> 3.8k
-    # img/s), so it stays opt-in until the repacking fuses into a kernel.
+    # img/s bf16; 9.9k -> 5.9k on the int8 serving path, where it extends
+    # through conv2_1 bit-exactly — perf/_stem_packed.log), so it stays
+    # opt-in until the repacking fuses into a kernel. Applies to both the
+    # float backbone (models/vgg16.py) and the int8 stack (models/quant.py).
     packed_stem: bool = False
 
     @property

@@ -125,23 +125,97 @@ def _requant(y: jnp.ndarray, scale: float) -> jnp.ndarray:
     return jnp.clip(jnp.round(y * (1.0 / scale)), -127, 127).astype(jnp.int8)
 
 
+def _packed_int8_conv(xp, blk, name, s_in):
+    """VALID (3, 2) width-packed int8 conv (ops/packed_stem.py transform
+    applied to the already-quantized kernel) -> dequantized fp32 + bias.
+
+    Bit-exact vs the direct int8 conv: the packing is pure reindexing of
+    the same int8 values (inserted zeros match SAME padding), the int32
+    accumulation is order-independent, and the dequant multiply uses the
+    same scalars."""
+    from soft_contrastive_learning_tpu.ops.packed_stem import pack_kernel
+
+    k8, sk = _quantize_weight(blk[name]["kernel"].astype(jnp.float32))
+    y32 = jax.lax.conv_general_dilated(
+        xp,
+        pack_kernel(k8),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    skp = jnp.concatenate([sk, sk])
+    bp = jnp.concatenate(
+        [blk[name]["bias"], blk[name]["bias"]]
+    ).astype(jnp.float32)
+    return y32.astype(jnp.float32) * (s_in * skp) + bp
+
+
+def _packed_int8_stem(vgg_params, scales, a8: jnp.ndarray) -> jnp.ndarray:
+    """Width-packed int8 block1 + conv2_1: returns conv2_2's int8 input
+    (B, H/2, W/2, 128).
+
+    Why: the per-layer probe (perf/_quant_layers.log) shows the 64-channel
+    stem convs run at 135-165 TOP/s vs 287-415 for the 128+-channel layers
+    — half the MXU's 128 lanes idle. Width-packing (ops/packed_stem.py)
+    aligns both contraction and output at 4/3 the FLOPs; at int8 the
+    pack/repack tensors are 1-byte so the data movement that sank the bf16
+    variant (core/config.py::packed_stem note) is halved. The 2x2 pool
+    collapses into a phase/row max (no unpack), and conv2_1's packed
+    output unpacks with a plain reshape (Y'[h,w',pout*F+f] = Y[h,2w'+pout,f],
+    pout-major)."""
+    from soft_contrastive_learning_tpu.ops.packed_stem import (
+        pack_input, repack_shifted,
+    )
+
+    blk1, blk2 = vgg_params["block1"], vgg_params["block2"]
+    s11, s12, s21, s22 = (scales[CONV_NAMES[i]] for i in range(4))
+
+    y1 = jax.nn.relu(_packed_int8_conv(pack_input(a8), blk1, "conv1_1", s11))
+    y2 = jax.nn.relu(
+        _packed_int8_conv(repack_shifted(_requant(y1, s12)), blk1, "conv1_2", s12)
+    )
+    y2q = _requant(y2, s21)  # int8 (B, H, W/2, 128)
+    f = y2q.shape[-1] // 2
+    m = jnp.maximum(y2q[..., :f], y2q[..., f:])  # 2x2 pool: width phases...
+    a8 = jnp.maximum(m[:, 0::2], m[:, 1::2])  # ...then height pairs
+    y3 = jax.nn.relu(_packed_int8_conv(pack_input(a8), blk2, "conv2_1", s21))
+    y3q = _requant(y3, s22)  # int8 (B, H/2, W/4, 256), pout-major channels
+    b, h, wp, f2 = y3q.shape
+    return y3q.reshape(b, h, wp, 2, f2 // 2).reshape(b, h, wp * 2, f2 // 2)
+
+
 def quantized_conv_stack(
-    vgg_params, scales: Dict[str, float], images: jnp.ndarray
+    vgg_params,
+    scales: Dict[str, float],
+    images: jnp.ndarray,
+    packed_stem: bool = False,
 ) -> jnp.ndarray:
     """int8 VGG16 conv stack -> fp32 conv5_3 map (pre-normalization).
 
     Between convs only int8 tensors materialize: the dequant(+bias+ReLU)
     and next-layer requant fuse into one elementwise pass, and the 2x2
     max-pools run on the already-requantized int8 (exact: requantization is
-    monotone, so pool-then-ReLU == ReLU-then-pool == int8 pool)."""
+    monotone, so pool-then-ReLU == ReLU-then-pool == int8 pool).
+
+    ``packed_stem=True`` runs conv1_1/conv1_2/pool1/conv2_1 width-packed
+    (bit-exact, see _packed_int8_stem) when the spatial dims allow
+    (H even, W % 4 == 0); otherwise it falls back silently."""
     a = _gray_to_rgb(images.astype(jnp.float32))
     a = a - vgg_params["average_rgb"].astype(jnp.float32)
     a8 = _requant(a, scales[CONV_NAMES[0]])
+    skip = 0
+    if packed_stem and images.shape[1] % 2 == 0 and images.shape[2] % 4 == 0:
+        a8 = _packed_int8_stem(vgg_params, scales, a8)
+        skip = 3  # conv1_1, conv1_2, conv2_1 done (conv2_2 is idx 3)
     idx = 0
     y = None
     for bi, specs in enumerate(_VGG_BLOCKS):
         blk = vgg_params[f"block{bi + 1}"]
         for si, (name, _, relu) in enumerate(specs):
+            if idx < skip:
+                idx += 1
+                continue
             k8, sk = _quantize_weight(blk[name]["kernel"].astype(jnp.float32))
             bias = blk[name]["bias"].astype(jnp.float32)
             s_in = scales[CONV_NAMES[idx]]
@@ -184,7 +258,9 @@ def quantized_embed(
     branches and the output/full_out coupling) by hand — any change to
     models/model.py:36-85 must be reflected here; tests/test_quant.py pins
     the two paths against each other for the covered configurations."""
-    fmap = quantized_conv_stack(params["vgg16"], scales, images)
+    fmap = quantized_conv_stack(
+        params["vgg16"], scales, images, packed_stem=cfg.packed_stem
+    )
     feat = l2_normalize(fmap, axis=-1)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     if cfg.reduction == "spp":

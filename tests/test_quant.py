@@ -2,8 +2,8 @@
 
 The quantized conv stack must preserve the retrieval geometry: descriptor
 cosine vs the float path ~1 and identical top-k neighbors. On-chip the same
-path measures 1.9-4.5x per-conv over bf16 (PARITY.md perf table); these
-tests pin correctness on any backend.
+path measures 1.6-1.7x over bf16 end-to-end (PARITY.md "quantized
+serving"); these tests pin correctness on any backend.
 """
 
 import jax
@@ -113,3 +113,39 @@ def test_scales_roundtrip(tmp_path):
     p = str(tmp_path / "scales.json")
     save_scales(scales, p)
     assert load_scales(p) == pytest.approx(scales)
+
+
+def test_packed_stem_bit_exact():
+    """The width-packed int8 stem is pure reindexing of the same int8
+    values + the same int32 sums + the same dequant scalars, so it must be
+    BIT-identical to the direct stack — not just close."""
+    import dataclasses
+
+    from soft_contrastive_learning_tpu.models.quant import quantized_conv_stack
+
+    cfg, model, params, x = _setup(hw=(48, 64))  # H even, W % 4 == 0
+    scales = calibrate_scales(params, x)
+    direct = jax.jit(
+        lambda p, a: quantized_conv_stack(p["vgg16"], scales, a)
+    )(params, x)
+    packed = jax.jit(
+        lambda p, a: quantized_conv_stack(p["vgg16"], scales, a, packed_stem=True)
+    )(params, x)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(direct))
+
+    # and through the full embed via the config flag
+    cfg_p = dataclasses.replace(cfg, packed_stem=True)
+    e_direct = jax.jit(lambda p, a: quantized_embed(cfg, p, scales, a))(params, x)
+    e_packed = jax.jit(lambda p, a: quantized_embed(cfg_p, p, scales, a))(params, x)
+    np.testing.assert_array_equal(np.asarray(e_packed[0]), np.asarray(e_direct[0]))
+
+
+def test_packed_stem_odd_width_fallback():
+    """W % 4 != 0 falls back to the direct stack (same result, no crash)."""
+    from soft_contrastive_learning_tpu.models.quant import quantized_conv_stack
+
+    cfg, model, params, x = _setup(hw=(48, 66))
+    scales = calibrate_scales(params, x)
+    direct = quantized_conv_stack(params["vgg16"], scales, x)
+    packed = quantized_conv_stack(params["vgg16"], scales, x, packed_stem=True)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(direct))
