@@ -49,13 +49,22 @@ class DescriptorExtractor:
         self._pool = ThreadPoolExecutor(max_workers=8)
         if quant_scales is not None:
             # int8 post-training-quantized conv stack (models/quant.py);
-            # same (output, full) contract as the float embed step.
+            # same (output, full) contract as the float embed step. The
+            # 64 MiB scoped-vmem option is the measured serving winner
+            # (+3%, perf/_quant_push.log); it only compiles for batches
+            # <= 2048, which every serving batch here satisfies.
             import jax as _jax
 
             from soft_contrastive_learning_tpu.models.quant import quantized_embed
 
+            opts = (
+                {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+                if _jax.default_backend() == "tpu" and batch_size <= 2048
+                else None
+            )
             self._embed = _jax.jit(
-                lambda p, x: quantized_embed(cfg, p, quant_scales, x)
+                lambda p, x: quantized_embed(cfg, p, quant_scales, x),
+                compiler_options=opts,
             )
         else:
             # Same jitted embed as the trainer (train/step.py::build_embed_step).
