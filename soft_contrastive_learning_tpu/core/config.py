@@ -124,6 +124,13 @@ class LossConfig:
     svd_dimensions: int = 10  # top singular values in the *rd family
     d_max_squared: float = 15.0**2  # MAX_POS_RADIUS**2 (reference train/train.py:695)
     f_max_squared: float = 2.0  # empirical scale (reference train/train.py:696)
+    # Opt-in fused Pallas wms forward (ops/pallas/wms_kernel.py). Measured
+    # slower than or equal to the XLA formulation at every batch size
+    # (B=50 within noise, B=256-512 ~10% slower fwd, compile failure at
+    # B>=1024 — perf/_wms.log, perf/_wms_largebatch.log), so the XLA path
+    # is the default; the kernel stays as an exact, tested fusion pattern
+    # reference (bitwise parity at B=50).
+    fused_wms: bool = False
 
     @property
     def distance_type(self) -> str:

@@ -236,13 +236,19 @@ def build_loss(cfg: LossConfig, tuples: TupleConfig, tuples_per_batch: int) -> L
     if name == "wms":
         # ms_mining is always on for wms in the reference dispatch
         # (model/losses.py:5 default; train/train.py:852 passes no override).
-        # On TPU the exp/ms configuration routes through the fused Pallas
-        # kernel (ops/pallas/wms_kernel.py); other configurations and other
-        # backends use the XLA formulation. The backend check runs at TRACE
-        # time (inside the returned fn), not when build_loss runs, so a
-        # library user may build the loss before jax.distributed/device init
-        # without silently baking the wrong path (round-2 review finding).
-        fused_eligible = cfg.wfunction == "exp" and cfg.sumfunction == "ms"
+        # The XLA formulation is the default everywhere: the fused Pallas
+        # kernel measured slower at every batch size and fails to compile
+        # at B>=1024 (perf/_wms_largebatch.log), so it is OPT-IN via
+        # LossConfig.fused_wms (exp/ms configuration on TPU only). The
+        # backend check runs at TRACE time (inside the returned fn), not
+        # when build_loss runs, so a library user may build the loss before
+        # jax.distributed/device init without silently baking the wrong
+        # path (round-2 review finding).
+        fused_eligible = (
+            getattr(cfg, "fused_wms", False)
+            and cfg.wfunction == "exp"
+            and cfg.sumfunction == "ms"
+        )
 
         def wms_fn(b, p, st):
             import jax as _jax
