@@ -81,6 +81,7 @@ def test_pooled_step_matches_host_step(tiny_cfg):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_fused_scan_matches_sequential_singles(tiny_cfg):
     import dataclasses
 

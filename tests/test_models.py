@@ -132,7 +132,14 @@ def test_spp_level_one_is_global_max():
     np.testing.assert_allclose(np.asarray(out), np.asarray(fm.max(axis=(1, 2))), rtol=1e-6)
 
 
-@pytest.mark.parametrize("reduction,n_out", [("1fc", 256), ("2fc", 256), ("3fc", 256)])
+@pytest.mark.parametrize(
+    "reduction,n_out",
+    [("1fc", 256),
+     # 2fc/3fc re-trace the full backbone+head twice each (~50 s on the
+     # 1-core host) — slow lane; 1fc keeps head coverage in the fast lane
+     pytest.param("2fc", 256, marks=pytest.mark.slow),
+     pytest.param("3fc", 256, marks=pytest.mark.slow)],
+)
 def test_fc_heads(reduction, n_out):
     cfg = _cfg(vlad_cores=64, reduction=reduction, out_dim=n_out)
     model = create_model(cfg)

@@ -115,6 +115,7 @@ def test_scales_roundtrip(tmp_path):
     assert load_scales(p) == pytest.approx(scales)
 
 
+@pytest.mark.slow
 def test_packed_stem_bit_exact():
     """The width-packed int8 stem is pure reindexing of the same int8
     values + the same int32 sums + the same dequant scalars, so it must be
@@ -140,6 +141,7 @@ def test_packed_stem_bit_exact():
     np.testing.assert_array_equal(np.asarray(e_packed[0]), np.asarray(e_direct[0]))
 
 
+@pytest.mark.slow
 def test_packed_stem_odd_width_fallback():
     """W % 4 != 0 falls back to the direct stack (same result, no crash)."""
     from soft_contrastive_learning_tpu.models.quant import quantized_conv_stack
