@@ -31,28 +31,30 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 10_000.0
 
 
-def measure(batch_size: int, iters: int, use_pallas: bool) -> float:
+def _flagship_cfg(use_pallas: bool):
     from soft_contrastive_learning_tpu.core.config import ModelConfig
-    from soft_contrastive_learning_tpu.models.model import create_model, init_params
 
-    cfg = ModelConfig(
+    return ModelConfig(
         vlad_cores=64,
         reduction="none",
         compute_dtype="bfloat16",
         use_pallas=use_pallas,
     )
-    model = create_model(cfg)
-    params = init_params(cfg, jax.random.key(0))
+
+
+def _timed_scan(embed_one, params, cfg, batch_size, iters, compiler_options=None):
+    """Best-of-2 timing of ``iters`` chained forwards inside ONE jit call.
+    ``embed_one(params, images) -> (B, D)`` descriptors."""
 
     def many(p, x):
         def body(carry, _):
             # tiny data dependency so XLA can't hoist/elide iterations
-            out = model.apply({"params": p}, x + carry * 1e-12)[0]
-            return out[0, 0], out[0, 0]
+            out = embed_one(p, x + carry * 1e-12)
+            return out[0, 0].astype(jnp.float32), out[0, 0].astype(jnp.float32)
         _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return outs.sum()
 
-    f = jax.jit(many)
+    f = jax.jit(many, compiler_options=compiler_options)
     x = jnp.asarray(
         np.random.default_rng(0).random(
             (batch_size, cfg.image_height, cfg.image_width, 3), np.float32
@@ -68,32 +70,40 @@ def measure(batch_size: int, iters: int, use_pallas: bool) -> float:
     return best
 
 
-def measure_int8(batch_size: int, iters: int, use_pallas: bool):
-    """int8 PTQ serving path (models/quant.py). Returns (rate, cosine) where
-    cosine is a live descriptor-parity check vs the float path on the same
-    params — the caller gates on it so a broken quant path can never win.
+def measure(batch_size: int, iters: int, use_pallas: bool) -> float:
+    from soft_contrastive_learning_tpu.models.model import create_model, init_params
+
+    cfg = _flagship_cfg(use_pallas)
+    model = create_model(cfg)
+    params = init_params(cfg, jax.random.key(0))
+    return _timed_scan(
+        lambda p, x: model.apply({"params": p}, x)[0], params, cfg,
+        batch_size, iters,
+    )
+
+
+def int8_setup(use_pallas: bool = False):
+    """Calibrate once for the int8 sweep: returns (cfg, params, scales, cos)
+    where cos is a live descriptor-parity check vs the float path on the
+    same params — the caller gates on it so a broken quant path can never
+    win. Batch-size independent, so main() hoists it out of the sweep.
 
     Config follows the measured winner (perf/_quant_push.log): XLA NetVLAD
-    aggregation (use_pallas=False there) + 64 MiB scoped-vmem compiler
-    option (+3% over the default 16 MiB)."""
-    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    aggregation (use_pallas=False)."""
     from soft_contrastive_learning_tpu.models.model import create_model, init_params
     from soft_contrastive_learning_tpu.models.quant import (
         calibrate_scales,
         quantized_embed,
     )
 
-    cfg = ModelConfig(
-        vlad_cores=64,
-        reduction="none",
-        compute_dtype="bfloat16",
-        use_pallas=use_pallas,
-    )
+    cfg = _flagship_cfg(use_pallas)
     model = create_model(cfg)
     params = init_params(cfg, jax.random.key(0))
-    rng = np.random.default_rng(0)
     calib = jnp.asarray(
-        rng.random((8, cfg.image_height, cfg.image_width, 3), np.float32) * 255.0
+        np.random.default_rng(0).random(
+            (8, cfg.image_height, cfg.image_width, 3), np.float32
+        )
+        * 255.0
     )
     scales = calibrate_scales(params, calib)
 
@@ -111,33 +121,27 @@ def measure_int8(batch_size: int, iters: int, use_pallas: bool):
             / (np.linalg.norm(q, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-12)
         )
     )
+    return cfg, params, scales, cos
 
-    def many(p, x):
-        def body(carry, _):
-            out = quantized_embed(cfg, p, scales, x + carry * 1e-12)[0]
-            return out[0, 0].astype(jnp.float32), out[0, 0].astype(jnp.float32)
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return outs.sum()
 
+def measure_int8(batch_size: int, iters: int, use_pallas: bool = False,
+                 setup=None):
+    """int8 PTQ serving path (models/quant.py) -> (rate, cosine). The
+    64 MiB scoped-vmem compiler option is the measured +3% winner
+    (perf/_quant_push.log; only compiles for batches <= 2048)."""
+    from soft_contrastive_learning_tpu.models.quant import quantized_embed
+
+    cfg, params, scales, cos = setup or int8_setup(use_pallas)
     compiler_options = (
         {"xla_tpu_scoped_vmem_limit_kib": "65536"}
-        if jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu" and batch_size <= 2048
         else None
     )
-    f = jax.jit(many, compiler_options=compiler_options)
-    x = jnp.asarray(
-        rng.random(
-            (batch_size, cfg.image_height, cfg.image_width, 3), np.float32
-        )
-        * 255.0
+    rate = _timed_scan(
+        lambda p, x: quantized_embed(cfg, p, scales, x)[0], params, cfg,
+        batch_size, iters, compiler_options,
     )
-    float(f(params, x))  # compile + warm
-    best = 0.0
-    for _ in range(2):
-        t0 = time.time()
-        float(f(params, x))
-        best = max(best, batch_size * iters / (time.time() - t0))
-    return best, cos
+    return rate, cos
 
 
 def main() -> None:
@@ -169,11 +173,13 @@ def main() -> None:
     # property; on CPU it is just slow) and only counted when the live
     # descriptor-parity gate passes.
     int8_batches = (512, 1536) if on_tpu else ()  # 1536 = measured knee (perf/_quant_push2.log)
+    setup = None
     for bs in int8_batches:
         try:
-            # use_pallas=False: XLA NetVLAD measured faster than the Pallas
-            # aggregation inside the int8 stack (perf/_quant_push.log).
-            rate, cos = measure_int8(bs, iters, use_pallas=False)
+            # calibration + the parity gate are batch-size independent:
+            # run them once for the whole sweep
+            setup = setup or int8_setup(use_pallas=False)
+            rate, cos = measure_int8(bs, iters, setup=setup)
         except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
             errors.append(f"int8 bs={bs}: {type(e).__name__}: {str(e)[:200]}")
             continue

@@ -199,10 +199,15 @@ def cmd_train(args) -> int:
         # cannot fall out of sync with this serialization.
         probe = argparse.ArgumentParser()
         _add_train_flags(probe)
-        store_true_flags = {
-            a.dest
+        # Zero-arg boolean flags (store_true AND store_false/const): render
+        # the bare flag only when the value equals the action's const (the
+        # flag was actually given); a value must never follow them or the
+        # child's argparse rejects it. nargs == 0 + bool const covers the
+        # whole family without touching argparse private classes.
+        bare_flags = {
+            a.dest: (a.option_strings[-1].lstrip("-"), a.const)
             for a in probe._actions
-            if isinstance(a, argparse._StoreTrueAction)
+            if a.nargs == 0 and isinstance(a.const, bool) and a.option_strings
         }
         params = []
         for k, v in vars(args).items():
@@ -211,9 +216,10 @@ def cmd_train(args) -> int:
             if v is None or (isinstance(v, str) and v == ""):
                 continue
             if isinstance(v, bool):
-                if k in store_true_flags:
-                    if v:
-                        params.append((k, True))
+                if k in bare_flags:
+                    flag, const = bare_flags[k]
+                    if v == const:
+                        params.append((flag, True))
                 else:
                     params.append((k, str(v)))
                 continue

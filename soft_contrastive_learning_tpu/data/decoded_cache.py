@@ -159,14 +159,19 @@ class CachedDecodedSource:
         self, keys: Sequence[ImageKey], h: int, w: int, keep_aspect: bool
     ) -> Optional[np.ndarray]:
         """(B, h, w, 3) uint8 batch, or None when no cache exists for this
-        geometry (callers fall back to the decode path). Keys missing from
-        the cache are decoded individually through the wrapped source."""
+        geometry OR no key of this batch is cached (callers fall back to
+        the thread-pooled decode path — without the all-miss bail-out, an
+        uncached set, e.g. the eval query sets when only train_ref/test_ref
+        were cached, would decode serially here and lose the pool's
+        parallelism). Partially-missing keys are decoded individually."""
         cache = self._cache_for(h, w, keep_aspect)
         if cache is None:
             return None
+        rows = [cache.index.get(_key_str(key)) for key in keys]
+        if keys and all(r is None for r in rows):
+            return None
         out = np.empty((len(keys), h, w, 3), np.uint8)
-        for i, key in enumerate(keys):
-            row = cache.index.get(_key_str(key))
+        for i, (key, row) in enumerate(zip(keys, rows)):
             if row is None:
                 out[i] = normalize_geometry(
                     self._inner.load_image(key), h, w, keep_aspect

@@ -165,7 +165,7 @@ def _packed_int8_stem(vgg_params, scales, a8: jnp.ndarray) -> jnp.ndarray:
     output unpacks with a plain reshape (Y'[h,w',pout*F+f] = Y[h,2w'+pout,f],
     pout-major)."""
     from soft_contrastive_learning_tpu.ops.packed_stem import (
-        pack_input, repack_shifted,
+        pack_input, packed_maxpool, repack_shifted, unpack_width,
     )
 
     blk1, blk2 = vgg_params["block1"], vgg_params["block2"]
@@ -175,14 +175,10 @@ def _packed_int8_stem(vgg_params, scales, a8: jnp.ndarray) -> jnp.ndarray:
     y2 = jax.nn.relu(
         _packed_int8_conv(repack_shifted(_requant(y1, s12)), blk1, "conv1_2", s12)
     )
-    y2q = _requant(y2, s21)  # int8 (B, H, W/2, 128)
-    f = y2q.shape[-1] // 2
-    m = jnp.maximum(y2q[..., :f], y2q[..., f:])  # 2x2 pool: width phases...
-    a8 = jnp.maximum(m[:, 0::2], m[:, 1::2])  # ...then height pairs
+    # requant BEFORE the pool (monotone, commutes) so the pool runs on int8
+    a8 = packed_maxpool(_requant(y2, s21))
     y3 = jax.nn.relu(_packed_int8_conv(pack_input(a8), blk2, "conv2_1", s21))
-    y3q = _requant(y3, s22)  # int8 (B, H/2, W/4, 256), pout-major channels
-    b, h, wp, f2 = y3q.shape
-    return y3q.reshape(b, h, wp, 2, f2 // 2).reshape(b, h, wp * 2, f2 // 2)
+    return unpack_width(_requant(y3, s22))
 
 
 def quantized_conv_stack(

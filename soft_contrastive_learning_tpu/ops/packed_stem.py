@@ -80,14 +80,29 @@ def packed_conv(xp: jnp.ndarray, k: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return yp + jnp.concatenate([b, b]).astype(yp.dtype)
 
 
-def packed_maxpool_relu(yp: jnp.ndarray) -> jnp.ndarray:
-    """2x2 stride-2 max-pool + ReLU directly in packed layout:
+def packed_maxpool(yp: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 max-pool directly in packed layout:
     (B, H, W/2, 2F) -> (B, H/2, W/2, F). Width pairs are the two phase
-    halves; height pairs are adjacent rows."""
+    halves; height pairs are adjacent rows. Dtype-agnostic (used on fp32
+    and on requantized int8, where max commutes with the monotone
+    quantization)."""
     f = yp.shape[-1] // 2
     m = jnp.maximum(yp[..., :f], yp[..., f:])  # over width phases
-    m = jnp.maximum(m[:, 0::2], m[:, 1::2])  # over height pairs
-    return jax.nn.relu(m)
+    return jnp.maximum(m[:, 0::2], m[:, 1::2])  # over height pairs
+
+
+def packed_maxpool_relu(yp: jnp.ndarray) -> jnp.ndarray:
+    """packed_maxpool + ReLU (the float stem's block-boundary order)."""
+    return jax.nn.relu(packed_maxpool(yp))
+
+
+def unpack_width(yp: jnp.ndarray) -> jnp.ndarray:
+    """Packed conv output -> standard layout: (B, H, W/2, 2F) -> (B, H, W, F).
+
+    packed_conv's output satisfies Y'[h, w', pout*F + f] = Y[h, 2w'+pout, f]
+    (pout-major channels), so the unpack is a plain contiguous reshape."""
+    b, h, wp, f2 = yp.shape
+    return yp.reshape(b, h, wp, 2, f2 // 2).reshape(b, h, wp * 2, f2 // 2)
 
 
 def packed_stem_block(

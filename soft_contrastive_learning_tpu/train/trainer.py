@@ -174,7 +174,6 @@ class Trainer:
         self.start_epoch = 0
         self._current_epoch = 0
         self._seg_ctx = None  # live segment position for mid-epoch checkpoints
-        self._last_eval_ordinal = 0  # highest eval-query window fired so far
         self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
@@ -733,11 +732,16 @@ class Trainer:
                 # K-step fused dispatch (train/step.py::build_train_step_scan):
                 # leaves stacked to (K, ...), one transfer set + one scan call.
                 maybe_profile_start()
-                with self.timer.span("train_step"):
+                # host assembly OUTSIDE the train_step span: the K-batch
+                # np.stack is host memcpy and belongs with host_build, not
+                # device step time (process_single only device_puts inside
+                # its span — keep the two attributions comparable)
+                with self.timer.span("host_build"):
                     stacked = {
                         k: np.stack([b[k] for b, _ in items])
                         for k in items[0][0]
                     }
+                with self.timer.span("train_step"):
                     device_batch = shard_batch_stacked(stacked, self.mesh)
                     if pool_rows is not None:
                         self.state, ms = self.train_step_scan_pooled(
@@ -881,13 +885,15 @@ class Trainer:
             {"loss": vals["loss"], "learning_rate": vals["learning_rate"]}, step
         )
 
-    def _run_eval(self, epoch: int, eval_ordinal: Optional[int] = None) -> None:
+    def _run_eval(self, epoch: int, eval_ordinal: int) -> None:
         """``eval_ordinal`` indexes the rolling eval-query windows. It counts
         eval FIRINGS (abs_step // eval_step): the reference divides its
         batch-count GLOBAL_STEP by EVAL_STEP while triggering on the
         anchor-count step (train/train.py:1070,1124) — mixed units that
         replay each query window tuples_per_batch times; fixed like the
-        other latent reference bugs (PARITY.md)."""
+        other latent reference bugs (PARITY.md). Fires only on the in-loop
+        eval_step cadence — like the reference, there is no epoch-end eval
+        (train/train.py:1108-1110 just drains the queues)."""
         self.log("EVALUATING")
         # flush per-step logging first: keeps the JSONL stream ordered ahead
         # of the eval scalars and surfaces any pending worker error here
@@ -898,14 +904,6 @@ class Trainer:
             # keeping resumed and uninterrupted feed sequences identical).
             self._updater.drain()
         gs = self.global_step
-        if eval_ordinal is None:
-            # Epoch-end eval: advance PAST the last fired window. Floor
-            # division would replay the last in-loop window whenever the
-            # epoch ends between eval_step multiples; take the ceil and
-            # never go below one past the last fired ordinal.
-            step_ord = -(-gs // max(self.cfg.eval_step, 1))
-            eval_ordinal = max(step_ord, self._last_eval_ordinal + 1)
-        self._last_eval_ordinal = max(self._last_eval_ordinal, eval_ordinal)
         with self.timer.span("ckpt_save"):
             self.ckpts.save(
                 "rolling", gs, self.state, self._pca_sd(), self._loss_pca_sd(),
