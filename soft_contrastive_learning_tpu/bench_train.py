@@ -37,7 +37,8 @@ import numpy as np
 
 
 def flagship_toy_config(tuples_per_batch: int, num_points: int,
-                        steps_per_dispatch: int = 1):
+                        steps_per_dispatch: int = 1,
+                        async_mining: bool = False):
     from soft_contrastive_learning_tpu.core.config import (
         LossConfig, ModelConfig, TrainConfig, TupleConfig,
     )
@@ -59,6 +60,7 @@ def flagship_toy_config(tuples_per_batch: int, num_points: int,
         eval_ref_r=5,
         train_ref_r=1,
         steps_per_dispatch=steps_per_dispatch,
+        async_mining=async_mining,
         seed=7,
     )
 
@@ -71,6 +73,7 @@ def run(
     out_dir: Optional[str] = None,
     cfg=None,  # override for small-shape CI smoke runs (tests/)
     steps_per_dispatch: int = 1,
+    async_mining: bool = False,
 ) -> dict:
     from soft_contrastive_learning_tpu.data.decoded_cache import (
         CachedDecodedSource, cache_training_sets,
@@ -83,7 +86,7 @@ def run(
 
     if cfg is None:
         cfg = flagship_toy_config(tuples_per_batch, num_points,
-                                  steps_per_dispatch)
+                                  steps_per_dispatch, async_mining)
     # ~8 m spacing keeps positives within the 15 m radius
     radius = num_points * 8.0 / (2 * np.pi)
     src = ToyCitySource(
@@ -173,6 +176,15 @@ def run(
         sustained_step_s = steady["total_s"] / steady["count"]
     else:
         sustained_step_s = (wall_s - one_off) / max(n_steps, 1)
+    # Epoch throughput INCLUDING the mining refresh (only eval/save
+    # subtracted): the number async_mining moves — a synchronous refresh
+    # pays its full feature-fetch wall time here (one-off'd out of the
+    # headline above), an async one overlaps it with training.
+    eval_save_s = sum(
+        spans.get(k, {}).get("total_s", 0.0)
+        for k in ("eval_loss", "eval_localization", "ckpt_save")
+    )
+    with_mining_step_s = (wall_s - eval_save_s) / max(n_steps, 1)
 
     result = {
         "metric": "train_loop_throughput",
@@ -182,6 +194,7 @@ def run(
             "backend": jax.default_backend(),
             "tuples_per_batch": tuples_per_batch,
             "steps_per_dispatch": cfg.steps_per_dispatch,
+            "async_mining": cfg.async_mining,
             "device_image_pool": bool(tr._image_pool not in (None, False)),
             "images_per_step": imgs_per_step,
             "steps": n_steps,
@@ -193,6 +206,10 @@ def run(
                 (wall_s - one_off) / max(n_steps, 1) * 1e3, 3
             ),
             "sustained_step_ms": round(sustained_step_s * 1e3, 3),
+            "with_mining_step_ms": round(with_mining_step_s * 1e3, 3),
+            "with_mining_imgs_per_sec": round(
+                imgs_per_step / with_mining_step_s, 1
+            ),
             "device_step_ms": round(device_step_s * 1e3, 3),
             "device_busy_frac": round(device_step_s / sustained_step_s, 4),
             "spans": {
@@ -213,6 +230,7 @@ def main(argv=None) -> None:
     ap.add_argument("--no_cache", action="store_true")
     ap.add_argument("--scan_iters", type=int, default=50)
     ap.add_argument("--steps_per_dispatch", type=int, default=1)
+    ap.add_argument("--async_mining", action="store_true")
     ap.add_argument("--out_dir", default="")
     args = ap.parse_args(argv)
     res = run(
@@ -222,6 +240,7 @@ def main(argv=None) -> None:
         scan_iters=args.scan_iters,
         out_dir=args.out_dir or None,
         steps_per_dispatch=args.steps_per_dispatch,
+        async_mining=args.async_mining,
     )
     print(json.dumps(res))
 

@@ -125,6 +125,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="fuse K consecutive train steps into one on-device "
                         "scan per dispatch (amortizes per-call transfer/"
                         "dispatch floors; exact)")
+    p.add_argument("--async_mining", type=_bool_flag, default=False,
+                   help="overlap the hard-mining cache refresh with training "
+                        "(train on the previous window until the new one "
+                        "lands) instead of the reference's pipeline barrier")
 
 
 def config_from_args(args) -> "TrainConfig":
@@ -174,6 +178,7 @@ def config_from_args(args) -> "TrainConfig":
         device_image_pool=args.device_image_pool,
         device_pool_max_bytes=args.device_pool_max_bytes,
         steps_per_dispatch=args.steps_per_dispatch,
+        async_mining=args.async_mining,
     )
 
 
@@ -542,6 +547,7 @@ def cmd_bench(args) -> int:
             num_points=args.num_points,
             use_cache=not args.no_cache,
             steps_per_dispatch=args.steps_per_dispatch,
+            async_mining=args.async_mining,
         )
         print(_json.dumps(res))
         return 0
@@ -705,6 +711,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="decode images in the producer instead of the "
                         "decoded-uint8 cache")
     p.add_argument("--steps_per_dispatch", type=int, default=1)
+    p.add_argument("--async_mining", action="store_true",
+                   help="overlap the mining-cache refresh with training "
+                        "(stale-window) instead of the reference barrier")
     p.set_defaults(func=cmd_bench)
 
     p = sub.add_parser(

@@ -187,6 +187,22 @@ class TrainConfig:
     # Mining / eval cadence
     mining_step: int = 250
     mining_cache_size: int = 1000
+    # Async mining refresh (TPU-native; opt-in): instead of the reference's
+    # barrier semantics — drain the pipeline, re-embed the mining window,
+    # resume (train/train.py:1014-1018) — dispatch the refresh's device work
+    # at the boundary and keep training on the PREVIOUS cache while a worker
+    # thread fetches the new embeddings and swaps them in (MiningCache.refresh
+    # is lock-guarded). The window is embedded with the boundary's params
+    # either way; the first few batches of a segment may use the stale cache
+    # (hard picks fall back to non-hard for anchors the old window doesn't
+    # contain — the reference's own behavior for uncached anchors). Removes
+    # the per-boundary queue-drain stall (docs/TRAINBENCH.md "segment-boundary
+    # drains"). Auto-falls-back to synchronous at the first boundary of an
+    # epoch (no previous cache), on resume segments, and when streaming-PCA
+    # state is in play (reduction=pca / incremental losses — their update
+    # order is part of the training semantics). Relaxes mid-epoch-resume
+    # exactness the same way the cache rebuild already does (see _extras).
+    async_mining: bool = False
     eval_step: int = 100
     save_step: int = 500
     num_eval_queries: int = 50

@@ -23,6 +23,7 @@ Capability parity with the reference's train()/train_one_epoch()
 from __future__ import annotations
 
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -175,6 +176,9 @@ class Trainer:
         self._current_epoch = 0
         self._seg_ctx = None  # live segment position for mid-epoch checkpoints
         self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
+        self._mining_thread = None  # in-flight refresh worker (async_mining)
+        self._mining_error = None
+        self._params_copy = None  # jitted params snapshot (donation-safe)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
         # Per-step loss/LR logging without blocking the dispatch loop: the
@@ -228,7 +232,7 @@ class Trainer:
 
     def extract_features(
         self, meta, indices: Sequence[int], full_feats: bool = False,
-        keep_device: bool = False,
+        keep_device: bool = False, params=None,
     ):
         """Batched on-device embedding of ``meta`` rows ``indices``
         (reference extract_features, train/train.py:1196-1213).
@@ -236,7 +240,10 @@ class Trainer:
         ``keep_device=True`` additionally returns the per-chunk DEVICE
         arrays (pre-whitening), so callers can run follow-up device compute
         (e.g. the mining neighbor-order matmul) without re-uploading the
-        features through the host."""
+        features through the host. ``params`` pins the embedding params
+        (async mining embeds with a boundary-time snapshot while the live
+        ``self.state`` keeps training); default = the live params."""
+        params = self.state.params if params is None else params
         b = self.cfg.images_per_batch
         idx = pad_to_multiple(np.asarray(indices, dtype=int), b)
         feats = []
@@ -249,12 +256,12 @@ class Trainer:
             if rows is not None:
                 # device-pool path: ship (b,) indices, gather in HBM
                 output, full = self.embed_pool_step(
-                    self.state.params, shard_batch(rows, self.mesh), pool.array
+                    params, shard_batch(rows, self.mesh), pool.array
                 )
             else:
                 images = load_images_standard(self.source, keys, self.cfg, self._pool)
                 images = shard_batch(images, self.mesh)
-                output, full = self.embed_step(self.state.params, images)
+                output, full = self.embed_step(params, images)
             sel = full if full_feats else output
             if keep_device:
                 dev_chunks.append(sel)
@@ -275,11 +282,13 @@ class Trainer:
     # ------------------------------------------------------------ mining
     def _mining_refresh(
         self, epoch: int, step: int, mining_count: int, meta, anchor_indices,
-        update_pca: bool = True,
+        update_pca: bool = True, params=None,
     ) -> None:
         """Reference train/train.py:1012-1068. ``update_pca=False`` rebuilds
         only the mining cache — used on mid-segment resume, where the restored
-        streaming-PCA state already contains this window's update."""
+        streaming-PCA state already contains this window's update.
+        ``params`` pins the embedding params (async mining passes the
+        boundary-time snapshot); default = the live ``self.state.params``."""
         cfg = self.cfg
         n_meta = len(meta["t"])
         window = np.arange(
@@ -293,7 +302,8 @@ class Trainer:
 
         full_feats = cfg.model.reduction == "pca"
         feats, dev_chunks = self.extract_features(
-            meta, mine_idx, full_feats=full_feats, keep_device=True
+            meta, mine_idx, full_feats=full_feats, keep_device=True,
+            params=params,
         )
 
         if self.pca is not None:
@@ -327,6 +337,57 @@ class Trainer:
             order = None
 
         self.mining_cache.refresh(feats, mine_idx, order=order)
+
+    def _spawn_mining_refresh(
+        self, epoch: int, step0: int, mining_count: int, meta, anchor_indices
+    ) -> None:
+        """Dispatch a mining refresh on a worker thread (cfg.async_mining).
+
+        The embed is pinned to a snapshot of the boundary-time params — the
+        same params a synchronous refresh would use — while the main loop
+        keeps dispatching train steps against the live ``self.state``. The
+        worker's device work serializes into the same device stream; only its
+        blocking host fetches move off the training thread. The sampler keeps
+        answering from the previous window until ``MiningCache.refresh`` swaps
+        the new one in under the cache lock.
+
+        The snapshot must be a real on-device COPY: the jitted train step
+        donates its state, so the live params' buffers are invalidated the
+        moment the main loop dispatches the next step. One HBM-to-HBM copy
+        of the params (sub-ms at flagship scale, dispatched async, nothing
+        crosses the host) per boundary buys the pinning."""
+        if self._params_copy is None:
+            self._params_copy = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t)
+            )
+        params = self._params_copy(self.state.params)
+
+        def work():
+            try:
+                with self.timer.span("mining_refresh_async"):
+                    self._mining_refresh(
+                        epoch, step0, mining_count, meta, anchor_indices,
+                        params=params,
+                    )
+            except BaseException as e:  # surfaced by the next _join_mining
+                self._mining_error = e
+
+        t = threading.Thread(target=work, name="mining-refresh", daemon=True)
+        self._mining_thread = t
+        t.start()
+
+    def _join_mining(self, raise_error: bool = True) -> None:
+        """Wait for an in-flight async refresh (no-op without one) and
+        surface any error it captured. ``raise_error=False`` on unwind paths,
+        where a worker failure must not mask the original exception."""
+        t, self._mining_thread = self._mining_thread, None
+        if t is not None:
+            t.join()
+        err, self._mining_error = self._mining_error, None
+        if err is not None:
+            if raise_error:
+                raise RuntimeError("async mining refresh failed") from err
+            self.log(f"async mining refresh error during unwind: {err}")
 
     # ------------------------------------------------------------ eval
     def _eval_loss_other(
@@ -580,18 +641,46 @@ class Trainer:
         while seg_start < len(steps):
             step0 = int(steps[seg_start])
             if boundary_mask[seg_start]:
-                with self.timer.span("mining_refresh"):
-                    self.log("Caching features for hard negative mining.")
-                    # On mid-segment resume, the restored streaming-PCA state
-                    # was saved AFTER this boundary's update — rebuild the
-                    # cache but don't re-apply the PCA update.
-                    is_resume_segment = (
-                        resume_ctx is not None and step0 <= resume_step0
+                # At most one refresh in flight: land the previous segment's
+                # async refresh (long done in steady state) and surface its
+                # errors before starting this one.
+                self._join_mining()
+                # On mid-segment resume, the restored streaming-PCA state
+                # was saved AFTER this boundary's update — rebuild the
+                # cache but don't re-apply the PCA update.
+                is_resume_segment = (
+                    resume_ctx is not None and step0 <= resume_step0
+                )
+                can_async = (
+                    cfg.async_mining
+                    # the first refresh of an epoch defines the cache window
+                    # for THIS epoch's meta (indices into a reshuffled set);
+                    # training on the previous epoch's window would map
+                    # indices to the wrong images — run it synchronously
+                    and mining_count > 0
+                    and not is_resume_segment
+                    # streaming-PCA update order is part of the training
+                    # semantics (reduction=pca / incremental losses): those
+                    # paths keep the reference's barrier
+                    and self.pca is None
+                    and self.loss_pca is None
+                    and self.mining_cache.ready
+                )
+                if can_async:
+                    self.log(
+                        "Caching features for hard negative mining "
+                        "(async; training continues on the previous cache)."
                     )
-                    self._mining_refresh(
-                        epoch, step0, mining_count, meta, anchor_indices,
-                        update_pca=not is_resume_segment,
+                    self._spawn_mining_refresh(
+                        epoch, step0, mining_count, meta, anchor_indices
                     )
+                else:
+                    with self.timer.span("mining_refresh"):
+                        self.log("Caching features for hard negative mining.")
+                        self._mining_refresh(
+                            epoch, step0, mining_count, meta, anchor_indices,
+                            update_pca=not is_resume_segment,
+                        )
                 mining_count += 1
             later = np.flatnonzero(boundary_mask[seg_start + 1 :])
             seg_end = seg_start + 1 + (int(later[0]) if len(later) else len(steps))
@@ -848,6 +937,7 @@ class Trainer:
                     except Exception as drain_err:
                         self.log(f"PCA worker error during unwind: {drain_err}")
                 self._updater = None
+                self._join_mining(raise_error=False)
                 raise
             else:
                 prefetcher.close()
@@ -865,6 +955,10 @@ class Trainer:
                     count=consumed,
                 )
             seg_start = seg_end
+        # Land any refresh still in flight from the last segment: epoch-end
+        # eval/checkpointing must see a settled cache, and a worker error
+        # must not be silently dropped.
+        self._join_mining()
         self._seg_ctx = None
 
     def _span_total(self, *names) -> float:
@@ -986,6 +1080,7 @@ class Trainer:
         return True
 
     def close(self) -> None:
+        self._join_mining(raise_error=False)
         if self._profiling:  # training ended before the trace window closed
             import jax.profiler
 

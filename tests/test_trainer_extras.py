@@ -109,8 +109,14 @@ def test_mid_epoch_exact_resume(tmp_path, monkeypatch):
     import soft_contrastive_learning_tpu.train.trainer as trainer_mod
 
     def cfg():
+        # Host feed path: the recording hook is assemble_batch, which the
+        # device-image-pool path bypasses by design (batches become (B,)
+        # indices, data/device_pool.py). The exactness machinery under test
+        # (pre-spawn rng snapshot + consumed-count replay) runs in the
+        # sampler, BEFORE the feed-path split, so one path pins it for both.
         return _cfg("triplet", tuples_per_batch=1, mining_step=6,
-                    mining_cache_size=6, save_step=6, eval_step=10**9)
+                    mining_cache_size=6, save_step=6, eval_step=10**9,
+                    device_image_pool=False)
 
     orig = trainer_mod.assemble_batch  # capture once: spies must not nest
 
