@@ -6,17 +6,27 @@ flagship configuration, answering "does the P1 overlap actually hide host
 work behind the device?" (the reference's threaded pipeline exists exactly
 for this, reference train/train.py:941-975).
 
-Three numbers, printed as one JSON line:
+Four numbers, printed as one JSON line:
 
-* ``sustained_step_ms``  wall time per train step over a full toy-city epoch,
-  with one-off costs (mining refresh, step-0 eval) subtracted via StepTimer
-  spans;
+* ``sustained_step_ms``  steady-state wall time per train step (the trainer's
+  sync-to-sync ``segment_steady`` windows), with one-off costs (synchronous
+  mining refresh, step-0 eval) subtracted via StepTimer spans;
+* ``with_mining_step_ms`` / ``with_mining_imgs_per_sec``  epoch wall per step
+  with ONLY eval/save subtracted — i.e. the mining refresh included;
 * ``device_step_ms``     device-only step time, measured as a lax.scan of K
   train steps over one resident batch inside a single jit (one host fetch —
   the relay-safe pattern, .claude/skills/verify/SKILL.md);
 * ``device_busy_frac``   device_step_ms / sustained_step_ms — the fraction of
   sustained wall time the chip is doing useful work. 1.0 = perfectly hidden
   host pipeline.
+
+Comparing sync vs async mining (``--async_mining``): use the with_mining
+pair, which charges both modes for the refresh. The sustained/busy headline
+is NOT cross-mode comparable — a synchronous refresh is subtracted as a
+one-off span, while an async refresh's device work deliberately lands
+inside the timed segment windows (that overlap is the feature), so async
+can read slightly LOWER on the headline while being strictly faster end to
+end.
 
 Run with and without the decoded-uint8 cache (data/decoded_cache.py) to see
 whether the host bound is decode (cache ON fixes it) or sampling itself.
@@ -159,11 +169,12 @@ def run(
     wall_s = time.perf_counter() - t0
     final_step -= warm_steps
 
+    from soft_contrastive_learning_tpu.train.trainer import EVAL_SAVE_SPANS
+
     spans = tr.timer.summary()
     one_off = sum(
         spans.get(k, {}).get("total_s", 0.0)
-        for k in ("mining_refresh", "eval_loss", "eval_localization",
-                  "ckpt_save")
+        for k in ("mining_refresh",) + EVAL_SAVE_SPANS
     )
     n_steps = int(final_step)
     imgs_per_step = cfg.images_per_batch
@@ -181,8 +192,7 @@ def run(
     # pays its full feature-fetch wall time here (one-off'd out of the
     # headline above), an async one overlaps it with training.
     eval_save_s = sum(
-        spans.get(k, {}).get("total_s", 0.0)
-        for k in ("eval_loss", "eval_localization", "ckpt_save")
+        spans.get(k, {}).get("total_s", 0.0) for k in EVAL_SAVE_SPANS
     )
     with_mining_step_s = (wall_s - eval_save_s) / max(n_steps, 1)
 

@@ -202,6 +202,9 @@ class TrainConfig:
     # state is in play (reduction=pca / incremental losses — their update
     # order is part of the training semantics). Relaxes mid-epoch-resume
     # exactness the same way the cache rebuild already does (see _extras).
+    # HBM note: the overlap costs one extra copy of the params tree plus the
+    # embed activations living alongside the train step's — configs sized
+    # within a few percent of the HBM ceiling should keep the barrier.
     async_mining: bool = False
     eval_step: int = 100
     save_step: int = 500

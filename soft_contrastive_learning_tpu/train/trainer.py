@@ -73,6 +73,17 @@ from soft_contrastive_learning_tpu.evaluation.metrics import (
 from soft_contrastive_learning_tpu.utils.meta import get_xy, get_yaw
 
 
+# StepTimer spans subtracted from steady-state throughput windows (in-segment
+# eval/save events). bench_train.py keys its with_mining metric off the same
+# tuple — keep them from drifting by sharing this constant.
+EVAL_SAVE_SPANS = ("eval_loss", "eval_localization", "ckpt_save")
+
+
+class _MiningCancelled(Exception):
+    """Async mining refresh aborted cooperatively (unwind/close): not an
+    error — the cache simply keeps its previous window."""
+
+
 def _rand_pairs(rng: np.random.Generator, n: int, m: int) -> List[Tuple[int, int]]:
     """m distinct unordered index pairs out of n items
     (reference rand_pairs/decode, train/train.py:41-51)."""
@@ -178,6 +189,7 @@ class Trainer:
         self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
         self._mining_thread = None  # in-flight refresh worker (async_mining)
         self._mining_error = None
+        self._mining_cancel = None  # cooperative-abort event for the worker
         self._params_copy = None  # jitted params snapshot (donation-safe)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
@@ -232,7 +244,7 @@ class Trainer:
 
     def extract_features(
         self, meta, indices: Sequence[int], full_feats: bool = False,
-        keep_device: bool = False, params=None,
+        keep_device: bool = False, params=None, cancel=None,
     ):
         """Batched on-device embedding of ``meta`` rows ``indices``
         (reference extract_features, train/train.py:1196-1213).
@@ -250,6 +262,11 @@ class Trainer:
         dev_chunks = []
         pool = self._image_pool if self._image_pool not in (None, False) else None
         for start in range(0, len(idx), b):
+            # Cooperative cancellation between chunks (each ~one embed
+            # dispatch + fetch) bounds how long an unwinding caller waits on
+            # an in-flight async mining refresh.
+            if cancel is not None and cancel.is_set():
+                raise _MiningCancelled()
             chunk = idx[start : start + b]
             keys = [(meta["date"][i], meta["folder"][i], meta["t"][i]) for i in chunk]
             rows = pool.rows_for_keys(keys) if pool is not None else None
@@ -282,13 +299,15 @@ class Trainer:
     # ------------------------------------------------------------ mining
     def _mining_refresh(
         self, epoch: int, step: int, mining_count: int, meta, anchor_indices,
-        update_pca: bool = True, params=None,
+        update_pca: bool = True, params=None, cancel=None,
     ) -> None:
         """Reference train/train.py:1012-1068. ``update_pca=False`` rebuilds
         only the mining cache — used on mid-segment resume, where the restored
         streaming-PCA state already contains this window's update.
         ``params`` pins the embedding params (async mining passes the
-        boundary-time snapshot); default = the live ``self.state.params``."""
+        boundary-time snapshot); default = the live ``self.state.params``.
+        ``cancel``: optional threading.Event checked between embed chunks
+        (cooperative abort for an unwinding async refresh)."""
         cfg = self.cfg
         n_meta = len(meta["t"])
         window = np.arange(
@@ -303,7 +322,7 @@ class Trainer:
         full_feats = cfg.model.reduction == "pca"
         feats, dev_chunks = self.extract_features(
             meta, mine_idx, full_feats=full_feats, keep_device=True,
-            params=params,
+            params=params, cancel=cancel,
         )
 
         if self.pca is not None:
@@ -361,14 +380,18 @@ class Trainer:
                 lambda t: jax.tree_util.tree_map(jnp.copy, t)
             )
         params = self._params_copy(self.state.params)
+        cancel = threading.Event()
+        self._mining_cancel = cancel
 
         def work():
             try:
                 with self.timer.span("mining_refresh_async"):
                     self._mining_refresh(
                         epoch, step0, mining_count, meta, anchor_indices,
-                        params=params,
+                        params=params, cancel=cancel,
                     )
+            except _MiningCancelled:
+                pass  # deliberate abort: keep the previous window
             except BaseException as e:  # surfaced by the next _join_mining
                 self._mining_error = e
 
@@ -378,11 +401,16 @@ class Trainer:
 
     def _join_mining(self, raise_error: bool = True) -> None:
         """Wait for an in-flight async refresh (no-op without one) and
-        surface any error it captured. ``raise_error=False`` on unwind paths,
-        where a worker failure must not mask the original exception."""
+        surface any error it captured. ``raise_error=False`` on unwind/close
+        paths: the refresh is cancelled cooperatively (bounding the wait to
+        ~one embed chunk) and a worker failure must not mask the original
+        exception."""
         t, self._mining_thread = self._mining_thread, None
         if t is not None:
+            if not raise_error and self._mining_cancel is not None:
+                self._mining_cancel.set()
             t.join()
+        self._mining_cancel = None
         err, self._mining_error = self._mining_error, None
         if err is not None:
             if raise_error:
@@ -661,10 +689,11 @@ class Trainer:
                     and not is_resume_segment
                     # streaming-PCA update order is part of the training
                     # semantics (reduction=pca / incremental losses): those
-                    # paths keep the reference's barrier
+                    # paths keep the reference's barrier. (mining_count > 0
+                    # already implies the cache is populated: every path that
+                    # increments it completed a refresh first.)
                     and self.pca is None
                     and self.loss_pca is None
-                    and self.mining_cache.ready
                 )
                 if can_async:
                     self.log(
@@ -863,9 +892,7 @@ class Trainer:
             # consumed by bench_train).
             np.asarray(self.state.step)  # sync point (one fetch)
             seg_t0 = time.perf_counter()
-            seg_excl0 = self._span_total(
-                "eval_loss", "eval_localization", "ckpt_save"
-            )
+            seg_excl0 = self._span_total(*EVAL_SAVE_SPANS)
             try:
                 while True:
                     if pending is _NO_ITEM:
@@ -946,9 +973,7 @@ class Trainer:
                 self._updater = None
                 self.metrics_logger.drain()
                 np.asarray(self.state.step)  # absorb the device tail
-                excl = self._span_total(
-                    "eval_loss", "eval_localization", "ckpt_save"
-                ) - seg_excl0
+                excl = self._span_total(*EVAL_SAVE_SPANS) - seg_excl0
                 self.timer.add(
                     "segment_steady",
                     time.perf_counter() - seg_t0 - excl,

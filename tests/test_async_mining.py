@@ -131,6 +131,28 @@ def test_async_worker_error_surfaces(tmp_path):
     tr._spawn_mining_refresh(0, 6, 1, {}, np.asarray([0]))
     tr._join_mining(raise_error=False)
     assert tr._mining_error is None and tr._mining_thread is None
+
+    # cooperative cancel: a worker parked on the cancel event is aborted by
+    # the unwind join (not an error), and the join does not hang
+    import threading
+
+    started = threading.Event()
+
+    def slow(*a, cancel=None, **kw):
+        started.set()
+        assert cancel is not None
+        cancel.wait(timeout=30)
+        from soft_contrastive_learning_tpu.train.trainer import _MiningCancelled
+
+        raise _MiningCancelled()
+
+    tr._mining_refresh = slow
+    tr._spawn_mining_refresh(0, 6, 1, {}, np.asarray([0]))
+    assert started.wait(timeout=10)
+    t0 = __import__("time").perf_counter()
+    tr._join_mining(raise_error=False)
+    assert __import__("time").perf_counter() - t0 < 10
+    assert tr._mining_error is None and tr._mining_thread is None
     tr.close()
 
 
