@@ -198,9 +198,11 @@ class TrainConfig:
     # contain — the reference's own behavior for uncached anchors). Removes
     # the per-boundary queue-drain stall (docs/TRAINBENCH.md "segment-boundary
     # drains"). Auto-falls-back to synchronous at the first boundary of an
-    # epoch (no previous cache), on resume segments, and when streaming-PCA
+    # epoch (no previous cache), on resume segments, when streaming-PCA
     # state is in play (reduction=pca / incremental losses — their update
-    # order is part of the training semantics). Relaxes mid-epoch-resume
+    # order is part of the training semantics), and in multi-host runs
+    # (a worker thread racing the main loop would make the cross-process
+    # collective enqueue order scheduler-dependent). Relaxes mid-epoch-resume
     # exactness the same way the cache rebuild already does (see _extras).
     # HBM note: the overlap costs one extra copy of the params tree plus the
     # embed activations living alongside the train step's — configs sized

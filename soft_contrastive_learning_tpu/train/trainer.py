@@ -694,6 +694,12 @@ class Trainer:
                     # increments it completed a refresh first.)
                     and self.pca is None
                     and self.loss_pca is None
+                    # Multi-host: collective programs must be enqueued in the
+                    # SAME order on every process; a worker thread racing the
+                    # main loop's dispatches makes that order scheduler-
+                    # dependent (deadlock hazard), so async requires a
+                    # single-process run.
+                    and jax.process_count() == 1
                 )
                 if can_async:
                     self.log(
