@@ -21,10 +21,23 @@ On the real chip, drop the env override to run the flagship-sized variant:
 import argparse
 import json
 import os
+import re
+import shutil
 import sys
 
 if "--flagship" not in sys.argv:
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    # Force a 1-device CPU mesh even when XLA_FLAGS already carries a count
+    # (e.g. leftover from the multichip-dryrun workflow) — setdefault alone
+    # would keep the stale value (same rewrite as __graft_entry__).
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in _flags:
+        _flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "--xla_force_host_platform_device_count=1", _flags,
+        )
+    else:
+        _flags = f"{_flags} --xla_force_host_platform_device_count=1".strip()
+    os.environ["XLA_FLAGS"] = _flags
 
 import numpy as np
 
@@ -72,28 +85,29 @@ def make_source(flagship: bool):
 
 
 def final_recall(tr, set_name: str):
-    """Fixed-split top-1 localization (%<r m) on ``set_name``'s city."""
-    meta = tr.source.epoch_meta(set_name, 0)
+    """Fixed-split top-1 localization (%<r m) on ``set_name``'s city —
+    the shared protocol (evaluation/metrics.py::fixed_split_recall)."""
+    from soft_contrastive_learning_tpu.evaluation.metrics import (
+        fixed_split_recall,
+    )
     from soft_contrastive_learning_tpu.utils.meta import get_xy
 
+    meta = tr.source.epoch_meta(set_name, 0)
     n = len(meta["t"])
-    q_idx = np.arange(0, n, 3)
-    r_idx = np.setdiff1d(np.arange(n), q_idx)
-    feats = tr.extract_features(meta, np.arange(n)).astype(np.float64)
-    xy = get_xy(meta)
-    sims = feats[q_idx] @ feats[r_idx].T
-    nn = r_idx[np.argmax(sims, axis=1)]
-    dist = np.linalg.norm(xy[q_idx] - xy[nn], axis=1)
-    return {f"%<{r}m": round(float(np.mean(dist <= r) * 100.0), 1)
-            for r in (10, 25, 50)}
+    feats = tr.extract_features(meta, np.arange(n))
+    rec = fixed_split_recall(feats, get_xy(meta))
+    return {k: round(v, 1) for k, v in rec.items() if k.startswith("%<")}
 
 
 def run_mode(flagship: bool, async_mining: bool, out_root: str):
     from soft_contrastive_learning_tpu.train.trainer import Trainer
 
     cfg = build_cfg(flagship, async_mining)
-    tr = Trainer(cfg, make_source(flagship),
-                 out_dir=os.path.join(out_root, "async" if async_mining else "sync"))
+    out_dir = os.path.join(out_root, "async" if async_mining else "sync")
+    # Fresh run dir: MetricsWriter appends, so a stale dir from an earlier
+    # invocation would double the read-back loss records (wrong steps/means).
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tr = Trainer(cfg, make_source(flagship), out_dir=out_dir)
     tr.train()
     losses = [r["value"] for r in tr.writers["local"].read_all()
               if r["tag"] == "loss"]

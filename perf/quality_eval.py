@@ -20,25 +20,23 @@ import numpy as np
 
 
 def recall_rows(label, embed_np, city, trained_first):
+    # The split/retrieval protocol lives in evaluation/metrics.py::
+    # fixed_split_recall (shared with perf/async_quality.py).
+    from soft_contrastive_learning_tpu.evaluation.metrics import (
+        fixed_split_recall,
+    )
+
     n = len(city)
-    q_idx = np.arange(0, n, 3)
-    r_idx = np.setdiff1d(np.arange(n), q_idx)
     imgs = np.stack([city.image(i) for i in range(n)])
     xy = np.stack([city.easting, city.northing], axis=1)
-    descs = {}
     for name, params in trained_first:
         out = []
         for s in range(0, n, 64):
             out.append(embed_np(params, imgs[s:s + 64]))
-        d = np.concatenate(out).astype(np.float64)
-        descs[name] = d
-    for name, d in descs.items():
-        sims = d[q_idx] @ d[r_idx].T
-        nn = r_idx[np.argmax(sims, axis=1)]
-        dist = np.linalg.norm(xy[q_idx] - xy[nn], axis=1)
-        rec = {r: float(np.mean(dist <= r) * 100.0) for r in (10, 25, 50)}
-        print(f"{label} {name:9s}: %<10m {rec[10]:5.1f}  %<25m {rec[25]:5.1f}"
-              f"  %<50m {rec[50]:5.1f}  (|q|={len(q_idx)}, |ref|={len(r_idx)})",
+        rec = fixed_split_recall(np.concatenate(out), xy)
+        print(f"{label} {name:9s}: %<10m {rec['%<10m']:5.1f}"
+              f"  %<25m {rec['%<25m']:5.1f}  %<50m {rec['%<50m']:5.1f}"
+              f"  (|q|={int(rec['n_query'])}, |ref|={int(rec['n_ref'])})",
               flush=True)
 
 

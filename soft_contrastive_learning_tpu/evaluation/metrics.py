@@ -39,6 +39,35 @@ def pct_within(dists: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     return (dists[None, :] < thresholds[:, None]).mean(axis=1) * 100.0
 
 
+def fixed_split_recall(
+    features: np.ndarray,  # (N, D) descriptors of ONE set
+    xy: np.ndarray,  # (N, 2) easting/northing
+    stride: int = 3,
+    radii=(10, 25, 50),
+) -> Dict[str, float]:
+    """Top-1 localization on a fixed query/reference split of a single set:
+    queries = every ``stride``-th row, references = the rest; retrieval by
+    max inner product in float64 (L2-normalized descriptors make this the
+    nearest neighbor). The quality-evidence protocol shared by
+    perf/quality_eval.py and perf/async_quality.py — one implementation so
+    the two experiments can't drift. Returns {'%<{r}m': pct} plus the split
+    sizes ('n_query', 'n_ref')."""
+    feats = np.asarray(features, np.float64)
+    xy = np.asarray(xy, np.float64)
+    n = len(feats)
+    q_idx = np.arange(0, n, stride)
+    r_idx = np.setdiff1d(np.arange(n), q_idx)
+    sims = feats[q_idx] @ feats[r_idx].T
+    nn = r_idx[np.argmax(sims, axis=1)]
+    dist = np.linalg.norm(xy[q_idx] - xy[nn], axis=1)
+    out: Dict[str, float] = {
+        f"%<{r}m": float(np.mean(dist <= r) * 100.0) for r in radii
+    }
+    out["n_query"] = float(len(q_idx))
+    out["n_ref"] = float(len(r_idx))
+    return out
+
+
 def localization_summary(
     query_xy: np.ndarray,
     ref_xy: np.ndarray,

@@ -324,6 +324,11 @@ class Trainer:
             meta, mine_idx, full_feats=full_feats, keep_device=True,
             params=params, cancel=cancel,
         )
+        # The tail below (neighbor-order matmul + fetch + cache swap) also
+        # honors cancellation: a cancelled refresh must neither block on
+        # another device fetch nor swap a half-trusted window in.
+        if cancel is not None and cancel.is_set():
+            raise _MiningCancelled()
 
         if self.pca is not None:
             if not self.pca.initialized:
@@ -355,6 +360,8 @@ class Trainer:
             self.log(f"device neighbor-order failed ({e}); host fallback")
             order = None
 
+        if cancel is not None and cancel.is_set():
+            raise _MiningCancelled()  # keep the previous window
         self.mining_cache.refresh(feats, mine_idx, order=order)
 
     def _spawn_mining_refresh(
@@ -402,9 +409,11 @@ class Trainer:
     def _join_mining(self, raise_error: bool = True) -> None:
         """Wait for an in-flight async refresh (no-op without one) and
         surface any error it captured. ``raise_error=False`` on unwind/close
-        paths: the refresh is cancelled cooperatively (bounding the wait to
-        ~one embed chunk) and a worker failure must not mask the original
-        exception."""
+        paths: the refresh is cancelled cooperatively — checked between embed
+        chunks and before the neighbor-order fetch / cache swap, so the wait
+        is bounded by ONE blocking device call (an already-issued fetch
+        cannot be interrupted) — and a worker failure must not mask the
+        original exception."""
         t, self._mining_thread = self._mining_thread, None
         if t is not None:
             if not raise_error and self._mining_cancel is not None:

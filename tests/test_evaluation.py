@@ -15,6 +15,7 @@ from soft_contrastive_learning_tpu.evaluation.inference import (
 )
 from soft_contrastive_learning_tpu.evaluation.metrics import (
     cumulative_min_topn,
+    fixed_split_recall,
     localization_summary,
 )
 from soft_contrastive_learning_tpu.evaluation.roc import (
@@ -143,6 +144,27 @@ def test_localization_summary_perfect_retrieval():
     assert scalars["10m-auc@Top1"] > 0
     top_n = cumulative_min_topn(np.asarray([[5.0, 2.0, 7.0]]))
     np.testing.assert_allclose(top_n, [[5.0, 2.0, 2.0]])
+
+
+def test_fixed_split_recall():
+    """The quality-evidence protocol (perf/quality_eval.py +
+    perf/async_quality.py): every stride-th row queries the rest."""
+    # 12 points on a line, 5 m apart; descriptors = one-hot of position
+    # bucket so each query's nearest-inner-product ref is its 5 m neighbor
+    n = 12
+    xy = np.stack([np.arange(n) * 5.0, np.zeros(n)], 1)
+    feats = np.zeros((n, n))
+    feats[np.arange(n), np.arange(n)] = 1.0
+    feats += 0.5 * np.roll(np.eye(n), 1, axis=1)  # overlap with next point
+    rec = fixed_split_recall(feats, xy, stride=3)
+    assert rec["n_query"] == 4 and rec["n_ref"] == 8
+    assert rec["%<10m"] == 100.0  # retrieved = adjacent point, 5 m away
+    assert rec["%<25m"] == 100.0
+    # orthogonal descriptors: retrieval is argmax over ~zero sims -> far
+    # misses are possible; protocol still returns well-formed percentages
+    rec2 = fixed_split_recall(np.eye(n), xy, stride=3)
+    assert set(rec2) == {"%<10m", "%<25m", "%<50m", "n_query", "n_ref"}
+    assert all(0.0 <= rec2[k] <= 100.0 for k in rec2 if k.startswith("%<"))
 
 
 def test_inference_end_to_end(tmp_path):
