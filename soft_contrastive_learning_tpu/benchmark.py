@@ -144,8 +144,33 @@ def measure_int8(batch_size: int, iters: int, use_pallas: bool = False,
     return rate, cos
 
 
+def _default_backend_bounded(timeout_s: float = 600.0) -> str:
+    """``jax.default_backend()`` with a watchdog: the first call initializes
+    the platform, and with the axon relay tunnel down that init HANGS
+    indefinitely (observed round 3) — turning the driver's bench run into an
+    opaque timeout. Probe on a daemon thread and convert a hang into a fast,
+    recorded failure instead."""
+    import threading
+
+    result = {}
+
+    def probe():
+        result["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" not in result:
+        raise SystemExit(
+            f"backend init did not complete within {timeout_s:.0f}s — "
+            "TPU relay unreachable? (JAX_PLATFORMS="
+            f"{os.environ.get('JAX_PLATFORMS', '')!r})"
+        )
+    return result["backend"]
+
+
 def main() -> None:
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _default_backend_bounded() == "tpu"
     if not on_tpu and os.environ.get("SCL_BENCH_REQUIRE_TPU"):
         raise SystemExit(
             f"benchmark requires the TPU backend, got {jax.default_backend()!r}"
