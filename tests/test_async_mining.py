@@ -157,6 +157,32 @@ def test_async_worker_error_surfaces(tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_falls_back_to_barrier(tmp_path, monkeypatch):
+    """process_count > 1 must force the synchronous refresh: a worker thread
+    racing the main loop would make the cross-process collective enqueue
+    order scheduler-dependent (SPMD deadlock hazard)."""
+    import soft_contrastive_learning_tpu.train.trainer as trainer_mod
+
+    cfg = _cfg()
+    tr = Trainer(cfg, _source(), out_dir=str(tmp_path / "run"))
+    spawned, refreshed = [], []
+    tr._spawn_mining_refresh = lambda *a, **kw: spawned.append(a)
+    tr._mining_refresh = lambda *a, **kw: refreshed.append(a)
+    # step-0 eval/part saves lazily build orbax managers, which demand a
+    # real distributed client under the patched process count — stub both
+    tr._run_eval = lambda *a, **kw: None
+    tr.ckpts.save = lambda *a, **kw: None
+    # patch scoped to the epoch: orbax's close-time barriers also consult
+    # jax.process_count and would demand a real distributed client
+    with monkeypatch.context() as m:
+        m.setattr(trainer_mod.jax, "process_count", lambda: 2)
+        tr.train_one_epoch(0)
+    assert spawned == []
+    assert len(refreshed) == 4  # boundaries 0,6,12,18 all synchronous
+    tr.close()
+
+
+@pytest.mark.slow
 def test_pca_path_stays_synchronous(tmp_path):
     """reduction='pca' keeps the reference barrier even with async_mining on
     (streaming-PCA update order is part of the training semantics)."""
