@@ -406,17 +406,24 @@ class Trainer:
         self._mining_thread = t
         t.start()
 
-    def _join_mining(self, raise_error: bool = True) -> None:
+    def _join_mining(self, raise_error: bool = True,
+                     cancel: bool = False) -> None:
         """Wait for an in-flight async refresh (no-op without one) and
-        surface any error it captured. ``raise_error=False`` on unwind/close
-        paths: the refresh is cancelled cooperatively — checked between embed
-        chunks and before the neighbor-order fetch / cache swap, so the wait
-        is bounded by ONE blocking device call (an already-issued fetch
-        cannot be interrupted) — and a worker failure must not mask the
-        original exception."""
+        surface any error it captured.
+
+        ``cancel=True`` aborts the refresh cooperatively instead of waiting
+        it out — used on unwind/close (a worker failure must not mask the
+        original exception, hence also ``raise_error=False`` there) and at
+        epoch end (the landed window would be discarded anyway: the next
+        epoch's first boundary rebuilds synchronously on the reshuffled
+        meta). The cancel event is checked between embed chunks and before
+        the neighbor-order fetch / cache swap, so the wait is bounded by one
+        in-flight chunk — a device dispatch + fetch, plus that chunk's
+        image IO on the host-feed (no device pool) path; an already-issued
+        blocking call cannot be interrupted."""
         t, self._mining_thread = self._mining_thread, None
         if t is not None:
-            if not raise_error and self._mining_cancel is not None:
+            if (cancel or not raise_error) and self._mining_cancel is not None:
                 self._mining_cancel.set()
             t.join()
         self._mining_cancel = None
@@ -677,6 +684,7 @@ class Trainer:
             )
         while seg_start < len(steps):
             step0 = int(steps[seg_start])
+            spawn_args = None  # deferred async-refresh spawn (see boundary)
             if boundary_mask[seg_start]:
                 # At most one refresh in flight: land the previous segment's
                 # async refresh (long done in steady state) and surface its
@@ -699,8 +707,10 @@ class Trainer:
                     # streaming-PCA update order is part of the training
                     # semantics (reduction=pca / incremental losses): those
                     # paths keep the reference's barrier. (mining_count > 0
-                    # already implies the cache is populated: every path that
-                    # increments it completed a refresh first.)
+                    # plus the _join_mining above implies the cache is
+                    # populated: a sync refresh completed, or an async one
+                    # was just joined — the join is load-bearing for this
+                    # gate; don't move it without re-deriving the invariant.)
                     and self.pca is None
                     and self.loss_pca is None
                     # Multi-host: collective programs must be enqueued in the
@@ -715,9 +725,12 @@ class Trainer:
                         "Caching features for hard negative mining "
                         "(async; training continues on the previous cache)."
                     )
-                    self._spawn_mining_refresh(
-                        epoch, step0, mining_count, meta, anchor_indices
-                    )
+                    # Spawn DEFERRED to just before the dispatch loop: an
+                    # exception during segment setup (sampler KDTree build,
+                    # producer-thread spawn) would otherwise leak a live
+                    # worker with no join in its unwind path.
+                    spawn_args = (epoch, step0, mining_count, meta,
+                                  anchor_indices)
                 else:
                     with self.timer.span("mining_refresh"):
                         self.log("Caching features for hard negative mining.")
@@ -908,6 +921,12 @@ class Trainer:
             np.asarray(self.state.step)  # sync point (one fetch)
             seg_t0 = time.perf_counter()
             seg_excl0 = self._span_total(*EVAL_SAVE_SPANS)
+            # Deferred from the boundary: segment setup is done, and the
+            # refresh's device work lands inside the timed window (the
+            # overlap is the thing being measured). From here every exit
+            # path joins the worker (except hook / epoch-end join).
+            if spawn_args is not None:
+                self._spawn_mining_refresh(*spawn_args)
             try:
                 while True:
                     if pending is _NO_ITEM:
@@ -995,10 +1014,12 @@ class Trainer:
                     count=consumed,
                 )
             seg_start = seg_end
-        # Land any refresh still in flight from the last segment: epoch-end
-        # eval/checkpointing must see a settled cache, and a worker error
-        # must not be silently dropped.
-        self._join_mining()
+        # Settle any refresh still in flight from the last segment before
+        # epoch-end eval/checkpointing — cancelled rather than waited out,
+        # since the next epoch's first boundary rebuilds the cache
+        # synchronously on the reshuffled meta regardless; real worker
+        # errors still surface.
+        self._join_mining(cancel=True)
         self._seg_ctx = None
 
     def _span_total(self, *names) -> float:
