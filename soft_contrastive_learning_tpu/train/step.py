@@ -225,6 +225,16 @@ def build_train_step_scan(
 
     Not available for configs that feed host state back per step
     (incremental losses / pca reduction) — the trainer gates on that.
+
+    CPU-backend caveat (measured, round 3): XLA:CPU compiles AND executes
+    the scanned conv train step orders of magnitude slower than K
+    sequential singles once the model passes toy size — at 64x80/vlad-8 on
+    a 1-core host the scan costs ~10 min to compile and ~2 min per
+    3-step call (vs seconds for singles); at 32x32/vlad-4 it is fine. This
+    is a backend pathology, not a correctness issue (results match
+    bitwise); keep K=1 for CPU runs/tests above toy shapes. On the real
+    TPU the fused path is the measured default-capable winner
+    (docs/TRAINBENCH.md: K=16 at full flagship shape, 51 ms/step).
     """
     assert not cfg.loss.incremental and cfg.model.reduction != "pca", (
         "fused multi-step dispatch requires a loop with no per-step host "

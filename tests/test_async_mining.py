@@ -183,6 +183,42 @@ def test_multihost_falls_back_to_barrier(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_async_mining_with_fused_dispatch(tmp_path):
+    """async_mining composes with K-step fused dispatch: the worker's embeds
+    interleave with the scanned train-step groups in the device stream.
+
+    Shapes are the 32x32/vlad-4 tiny regime: XLA:CPU compiles AND executes
+    the scan-of-K conv train step orders of magnitude slower than K singles
+    at the usual 64x80 test size (measured ~10 min compile + ~2 min/call on
+    the 1-core host vs seconds for singles — a CPU-backend cliff; the real
+    TPU runs K=16 at full flagship shape in 51 ms/step, docs/TRAINBENCH.md)."""
+    cfg = _cfg(
+        steps_per_dispatch=3,
+        model=ModelConfig(
+            vlad_cores=4, reduction="none", out_dim=16, image_height=32,
+            image_width=32, compute_dtype="float32", use_pallas=False,
+        ),
+    )
+    tr = Trainer(
+        cfg,
+        ToyCitySource(num_points=24, radius=30.0, img_h=32, img_w=32, seed=3),
+        out_dir=str(tmp_path / "run"),
+    )
+    assert tr.train_step_scan is not None
+    spawned = []
+    orig_spawn = tr._spawn_mining_refresh
+    tr._spawn_mining_refresh = (
+        lambda *a: (spawned.append(a[1]), orig_spawn(*a))[1]
+    )
+    tr.train_one_epoch(0)
+    assert spawned == [6, 12, 18]
+    assert tr._mining_thread is None and tr._mining_error is None
+    losses = [r["value"] for r in tr.writers["local"].read_all() if r["tag"] == "loss"]
+    assert len(losses) == 24 and all(np.isfinite(losses))
+    tr.close()
+
+
+@pytest.mark.slow
 def test_pca_path_stays_synchronous(tmp_path):
     """reduction='pca' keeps the reference barrier even with async_mining on
     (streaming-PCA update order is part of the training semantics)."""
