@@ -51,37 +51,54 @@ class MiningCache:
 
     def refresh(
         self,
-        features: np.ndarray,
+        features: Optional[np.ndarray],
         indices: np.ndarray,
         order: Optional[np.ndarray] = None,
     ) -> None:
         """``order``: optional precomputed (C, C) sorted-position matrix from
         ``neighbor_order`` (device). Without it queries fall back to the
-        per-anchor host matvec."""
-        features = np.asarray(features, dtype=np.float32)
+        per-anchor host matvec.
+
+        ``features=None`` with ``order`` given is an ORDER-ONLY refresh: the
+        trainer keeps the embedding window on device and ships only the int32
+        sorted order across the host boundary (trainer._mining_refresh fast
+        path) — the sampler consumes nothing but ``sorted_neighbors``."""
         with self._lock:
-            self._features = features
+            if features is None:
+                if order is None:
+                    raise ValueError("refresh needs features or order")
+                self._features = None
+                self._sq_norms = None
+            else:
+                features = np.asarray(features, dtype=np.float32)
+                self._features = features
+                self._sq_norms = np.sum(features * features, axis=1)
             self._indices = np.asarray(indices)
-            self._sq_norms = np.sum(features * features, axis=1)
             self._order = None if order is None else np.asarray(order)
 
     @property
     def ready(self) -> bool:
         with self._lock:
-            return self._features is not None and len(self._features) > 0
+            return (
+                self._indices is not None
+                and len(self._indices) > 0
+                and (self._features is not None or self._order is not None)
+            )
 
     def sorted_neighbors(self, dataset_index: int) -> Optional[np.ndarray]:
         """Dataset indices of all cache members sorted by ascending embedding
         distance to ``dataset_index``'s cached embedding, or None if the index
         is not cached (reference train/train.py:447-454)."""
         with self._lock:
-            if self._features is None:
+            if self._indices is None:
                 return None
             pos = np.flatnonzero(self._indices == dataset_index)
             if len(pos) == 0:
                 return None
             if self._order is not None:
                 return self._indices[self._order[pos[0]]]
+            if self._features is None:
+                return None
             q = self._features[pos[0]]
             # ||x - q||^2 = ||x||^2 - 2 x.q + const; const drops out of argsort
             order = np.argsort(self._sq_norms - 2.0 * (self._features @ q))

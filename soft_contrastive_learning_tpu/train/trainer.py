@@ -245,6 +245,7 @@ class Trainer:
     def extract_features(
         self, meta, indices: Sequence[int], full_feats: bool = False,
         keep_device: bool = False, params=None, cancel=None,
+        device_only: bool = False,
     ):
         """Batched on-device embedding of ``meta`` rows ``indices``
         (reference extract_features, train/train.py:1196-1213).
@@ -252,12 +253,18 @@ class Trainer:
         ``keep_device=True`` additionally returns the per-chunk DEVICE
         arrays (pre-whitening), so callers can run follow-up device compute
         (e.g. the mining neighbor-order matmul) without re-uploading the
-        features through the host. ``params`` pins the embedding params
-        (async mining embeds with a boundary-time snapshot while the live
-        ``self.state`` keeps training); default = the live params."""
+        features through the host. ``device_only=True`` returns ONLY those
+        device chunks and never fetches to host — every chunk is an async
+        dispatch, so the call returns without a single device sync (the
+        order-only mining fast path; through the relay the host fetch is the
+        dominant refresh cost, docs/TRAINBENCH.md). ``params`` pins the
+        embedding params (async mining embeds with a boundary-time snapshot
+        while the live ``self.state`` keeps training); default = the live
+        params."""
         params = self.state.params if params is None else params
         b = self.cfg.images_per_batch
         idx = pad_to_multiple(np.asarray(indices, dtype=int), b)
+        keep_device = keep_device or device_only
         feats = []
         dev_chunks = []
         pool = self._image_pool if self._image_pool not in (None, False) else None
@@ -282,7 +289,10 @@ class Trainer:
             sel = full if full_feats else output
             if keep_device:
                 dev_chunks.append(sel)
-            feats.append(np.asarray(sel))
+            if not device_only:
+                feats.append(np.asarray(sel))
+        if device_only:
+            return dev_chunks
         feats = np.concatenate(feats)[: len(indices)]
         if (
             not full_feats
@@ -320,10 +330,30 @@ class Trainer:
         mine_idx = np.concatenate([window, upcoming])
 
         full_feats = cfg.model.reduction == "pca"
-        feats, dev_chunks = self.extract_features(
-            meta, mine_idx, full_feats=full_feats, keep_device=True,
-            params=params, cancel=cancel,
+        # Order-only fast path: the sampler consumes nothing but
+        # sorted_neighbors, so when no host-side state needs the features
+        # (no streaming PCA, loss-PCA already initialized) the window never
+        # crosses to the host at all — the embed chunks stay in HBM, the
+        # neighbor order is computed on device, and only the (C, C) int32
+        # order is fetched (~30x fewer bytes than the f32 features at
+        # flagship width; through the relay this removes the dominant
+        # per-boundary cost, docs/TRAINBENCH.md "Async mining refresh").
+        order_only = (
+            not full_feats
+            and self.pca is None
+            and (self.loss_pca is None or self.loss_pca.initialized)
         )
+        if order_only:
+            feats = None
+            dev_chunks = self.extract_features(
+                meta, mine_idx, device_only=True, params=params,
+                cancel=cancel,
+            )
+        else:
+            feats, dev_chunks = self.extract_features(
+                meta, mine_idx, full_feats=full_feats, keep_device=True,
+                params=params, cancel=cancel,
+            )
         # The tail below (neighbor-order matmul + fetch + cache swap) also
         # honors cancellation: a cancelled refresh must neither block on
         # another device fetch nor swap a half-trusted window in.
@@ -359,6 +389,12 @@ class Trainer:
         except Exception as e:  # fall back to host matvec queries
             self.log(f"device neighbor-order failed ({e}); host fallback")
             order = None
+            if feats is None:
+                # order-only path has no host copy yet: the cache must be
+                # able to answer queries, so fetch the window after all
+                feats = np.concatenate(
+                    [np.asarray(c) for c in dev_chunks]
+                )[: len(mine_idx)].astype(np.float32)
 
         if cancel is not None and cancel.is_set():
             raise _MiningCancelled()  # keep the previous window
@@ -475,7 +511,6 @@ class Trainer:
         cfg = self.cfg
         ref_meta = self.source.cluster_meta(ref_set, cfg.eval_ref_r)
         n_ref = len(ref_meta["t"])
-        ref_features = self.extract_features(ref_meta, np.arange(n_ref))
         ref_xy = get_xy(ref_meta)
 
         query_meta = self.source.epoch_meta(query_set, epoch)
@@ -487,8 +522,26 @@ class Trainer:
             test_number * cfg.num_eval_queries,
             (test_number + 1) * cfg.num_eval_queries,
         ) % len(query_meta["t"])
-        query_features = self.extract_features(query_meta, q_idx)
         query_xy = get_xy(query_meta)[q_idx]
+
+        # Latent retrieval runs entirely on device; without a host-side
+        # whitening step the feature matrices never cross to the host at
+        # all — only the (Q, k) int32 neighbor indices do (topk_l2 computes
+        # the same distances either way; this just skips the D2H+H2D
+        # roundtrip of ref/query features, which dominates eval cost
+        # through the relay — same reasoning as the order-only mining
+        # refresh, docs/TRAINBENCH.md).
+        if self.pca is None:
+            ref_features = jnp.concatenate(
+                self.extract_features(ref_meta, np.arange(n_ref),
+                                      device_only=True)
+            )[:n_ref]
+            query_features = jnp.concatenate(
+                self.extract_features(query_meta, q_idx, device_only=True)
+            )[: len(q_idx)]
+        else:
+            ref_features = self.extract_features(ref_meta, np.arange(n_ref))
+            query_features = self.extract_features(query_meta, q_idx)
 
         k = min(5, n_ref)
         _, latent_idx = topk_l2(query_features, ref_features, k)
