@@ -485,7 +485,7 @@ class Trainer:
         )
         per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
         idx = np.arange(test_number * per_eval, (test_number + 1) * per_eval) % n
-        losses = []
+        outs = []
         for chunk in idx.reshape(-1, cfg.tuples_per_batch):
             sample = sampler.sample(chunk, use_hard=False)
             if sample is None:
@@ -493,8 +493,10 @@ class Trainer:
             batch = assemble_batch(cfg, self.source, meta, sample.indices,
                                    sample.payload, epoch, self._pool)
             batch = shard_batch(self._augment_batch(batch), self.mesh)
-            out = self.eval_loss_step(self.state.params, batch)
-            losses.append({k: float(v) for k, v in out.items()})
+            outs.append(self.eval_loss_step(self.state.params, batch))
+        # One host sync after all chunks are dispatched: a float() inside the
+        # loop would pay a full transport RTT per chunk (docs/TRAINBENCH.md).
+        losses = [{k: float(v) for k, v in out.items()} for out in outs]
         if losses:
             mean = {k: float(np.mean([d[k] for d in losses])) for k in losses[0]}
             self.writers["other"].scalars(mean, global_step)
