@@ -253,14 +253,15 @@ class Trainer:
         ``keep_device=True`` additionally returns the per-chunk DEVICE
         arrays (pre-whitening), so callers can run follow-up device compute
         (e.g. the mining neighbor-order matmul) without re-uploading the
-        features through the host. ``device_only=True`` returns ONLY those
-        device chunks and never fetches to host — every chunk is an async
-        dispatch, so the call returns without a single device sync (the
-        order-only mining fast path; through the relay the host fetch is the
-        dominant refresh cost, docs/TRAINBENCH.md). ``params`` pins the
-        embedding params (async mining embeds with a boundary-time snapshot
-        while the live ``self.state`` keeps training); default = the live
-        params."""
+        features through the host. ``device_only=True`` instead returns ONE
+        device array — concatenated, truncated to ``len(indices)`` and cast
+        to float32 (bf16 embeddings from spp / flattened-map configs must
+        not reach sum-of-squares distance math) — and never fetches the
+        features to host; every chunk is an async dispatch (the order-only
+        mining fast path; through the relay the host fetch is the dominant
+        refresh cost, docs/TRAINBENCH.md). ``params`` pins the embedding
+        params (async mining embeds with a boundary-time snapshot while the
+        live ``self.state`` keeps training); default = the live params."""
         params = self.state.params if params is None else params
         b = self.cfg.images_per_batch
         idx = pad_to_multiple(np.asarray(indices, dtype=int), b)
@@ -291,8 +292,17 @@ class Trainer:
                 dev_chunks.append(sel)
             if not device_only:
                 feats.append(np.asarray(sel))
+            elif rows is None and len(dev_chunks) > 4:
+                # Host-feed backpressure: without the per-chunk host fetch,
+                # nothing bounds how many chunks' image uploads sit queued in
+                # HBM. Waiting on the chunk 4 dispatches back keeps ~4 input
+                # buffers in flight (the pool path ships only (b,) indices —
+                # no bound needed there).
+                dev_chunks[-5].block_until_ready()
         if device_only:
-            return dev_chunks
+            return jnp.concatenate(dev_chunks)[: len(indices)].astype(
+                jnp.float32
+            )
         feats = np.concatenate(feats)[: len(indices)]
         if (
             not full_feats
@@ -345,7 +355,7 @@ class Trainer:
         )
         if order_only:
             feats = None
-            dev_chunks = self.extract_features(
+            dev_feats = self.extract_features(
                 meta, mine_idx, device_only=True, params=params,
                 cancel=cancel,
             )
@@ -383,8 +393,11 @@ class Trainer:
         try:
             if self.pca is not None and self.pca.initialized:
                 dev_feats = jnp.asarray(feats)
-            else:
-                dev_feats = jnp.concatenate(dev_chunks)[: len(mine_idx)]
+            elif not order_only:
+                dev_feats = (
+                    jnp.concatenate(dev_chunks)[: len(mine_idx)]
+                    .astype(jnp.float32)
+                )
             order = np.asarray(self._neighbor_order(dev_feats))
         except Exception as e:  # fall back to host matvec queries
             self.log(f"device neighbor-order failed ({e}); host fallback")
@@ -392,9 +405,8 @@ class Trainer:
             if feats is None:
                 # order-only path has no host copy yet: the cache must be
                 # able to answer queries, so fetch the window after all
-                feats = np.concatenate(
-                    [np.asarray(c) for c in dev_chunks]
-                )[: len(mine_idx)].astype(np.float32)
+                # (one transfer — the array is already concatenated)
+                feats = np.asarray(dev_feats)
 
         if cancel is not None and cancel.is_set():
             raise _MiningCancelled()  # keep the previous window
@@ -453,10 +465,13 @@ class Trainer:
         epoch end (the landed window would be discarded anyway: the next
         epoch's first boundary rebuilds synchronously on the reshuffled
         meta). The cancel event is checked between embed chunks and before
-        the neighbor-order fetch / cache swap, so the wait is bounded by one
-        in-flight chunk — a device dispatch + fetch, plus that chunk's
-        image IO on the host-feed (no device pool) path; an already-issued
-        blocking call cannot be interrupted."""
+        the neighbor-order fetch / cache swap. The wait bound depends on the
+        feed path: on host feed it is ~one in-flight chunk (each chunk's
+        image IO + upload sits between checks); on the device-pool
+        order-only path the dispatches are near-instant, so a cancel that
+        lands after the last chunk waits out the already-enqueued window
+        embed + order fetch (device work that was committed at spawn; an
+        already-issued blocking call cannot be interrupted)."""
         t, self._mining_thread = self._mining_thread, None
         if t is not None:
             if (cancel or not raise_error) and self._mining_cancel is not None:
@@ -494,9 +509,14 @@ class Trainer:
                                    sample.payload, epoch, self._pool)
             batch = shard_batch(self._augment_batch(batch), self.mesh)
             outs.append(self.eval_loss_step(self.state.params, batch))
-        # One host sync after all chunks are dispatched: a float() inside the
-        # loop would pay a full transport RTT per chunk (docs/TRAINBENCH.md).
-        losses = [{k: float(v) for k, v in out.items()} for out in outs]
+        # One batched transfer after all chunks are dispatched: a float()
+        # inside the loop would pay a full transport RTT per chunk — and
+        # per-key float() here would still pay one RTT per scalar
+        # (docs/TRAINBENCH.md).
+        losses = [
+            {k: float(v) for k, v in out.items()}
+            for out in jax.device_get(outs)
+        ]
         if losses:
             mean = {k: float(np.mean([d[k] for d in losses])) for k in losses[0]}
             self.writers["other"].scalars(mean, global_step)
@@ -534,13 +554,12 @@ class Trainer:
         # through the relay — same reasoning as the order-only mining
         # refresh, docs/TRAINBENCH.md).
         if self.pca is None:
-            ref_features = jnp.concatenate(
-                self.extract_features(ref_meta, np.arange(n_ref),
-                                      device_only=True)
-            )[:n_ref]
-            query_features = jnp.concatenate(
-                self.extract_features(query_meta, q_idx, device_only=True)
-            )[: len(q_idx)]
+            ref_features = self.extract_features(
+                ref_meta, np.arange(n_ref), device_only=True
+            )
+            query_features = self.extract_features(
+                query_meta, q_idx, device_only=True
+            )
         else:
             ref_features = self.extract_features(ref_meta, np.arange(n_ref))
             query_features = self.extract_features(query_meta, q_idx)

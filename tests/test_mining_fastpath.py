@@ -134,6 +134,30 @@ def test_trainer_fast_path_engages_and_matches_slow(tmp_path):
 
 
 @pytest.mark.slow
+def test_device_only_extraction_is_float32_under_bf16(tmp_path):
+    """spp / flattened-map configs with bf16 compute emit bf16 embeddings;
+    device_only extraction must cast to float32 before any sum-of-squares
+    distance math (bf16 accumulation over thousands of dims corrupts the
+    neighbor ranking the old host path got for free via astype)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(model=ModelConfig(
+        vlad_cores=8, reduction="spp", out_dim=16, image_height=64,
+        image_width=80, compute_dtype="bfloat16", use_pallas=False,
+    ))
+    src = ToyCitySource(num_points=24, radius=30.0, img_h=64, img_w=80, seed=3)
+    tr = Trainer(cfg, src, out_dir=str(tmp_path / "run"))
+    meta = tr.source.epoch_meta(cfg.local_ref_set, 0)
+    tr._ensure_image_pool(meta)
+    dev = tr.extract_features(meta, np.arange(5), device_only=True)
+    assert dev.dtype == jnp.float32
+    assert dev.shape[0] == 5  # padding truncated inside extract_features
+    host = tr.extract_features(meta, np.arange(5))
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=0, atol=0)
+    tr.close()
+
+
+@pytest.mark.slow
 def test_fast_path_host_fallback_on_device_order_failure(tmp_path):
     """If the device neighbor-order computation fails on an order-only
     refresh, the trainer must still land a queryable cache (host features
