@@ -337,6 +337,21 @@ class Trainer:
         upcoming = np.asarray(
             anchor_indices[step : min(step + cfg.mining_step, len(anchor_indices))]
         )
+        # Static shapes, the XLA way: at an epoch tail ``upcoming`` shrinks
+        # (anchors % mining_step), which would give the (C, C) neighbor-order
+        # jit a fresh shape — a full remote recompile per distinct tail.
+        # Extend the rolling window to keep len(mine_idx) fixed at
+        # cache_size + mining_step (deviation from the reference, which
+        # caches whatever remains, train/train.py:1021-1030: a few extra
+        # rolling-window members are semantically neutral — the window is an
+        # arbitrary rolling subset already).
+        deficit = cfg.mining_step - len(upcoming)
+        if deficit > 0:
+            extension = np.arange(
+                (mining_count + 1) * cfg.mining_cache_size,
+                (mining_count + 1) * cfg.mining_cache_size + deficit,
+            ) % n_meta
+            window = np.concatenate([window, extension])
         mine_idx = np.concatenate([window, upcoming])
 
         full_feats = cfg.model.reduction == "pca"

@@ -134,6 +134,34 @@ def test_trainer_fast_path_engages_and_matches_slow(tmp_path):
 
 
 @pytest.mark.slow
+def test_refresh_window_is_static_shape_at_epoch_tail(tmp_path):
+    """len(mine_idx) must not depend on how many anchors remain: a shrunken
+    tail window would hand the jitted (C, C) neighbor-order a fresh shape —
+    a full remote recompile per distinct tail on TPU. The rolling window is
+    extended to keep the cache size fixed."""
+    cfg = _cfg()
+    src = ToyCitySource(num_points=24, radius=30.0, img_h=64, img_w=80, seed=3)
+    tr = Trainer(cfg, src, out_dir=str(tmp_path / "run"))
+    meta = tr.source.epoch_meta(cfg.local_ref_set, 0)
+    anchors = np.asarray(
+        tr.source.anchor_indices(cfg.local_ref_set, cfg.train_ref_r, 0), int
+    )[:20]  # 20 anchors, mining_step=6 -> tail at step 18 has only 2 left
+    tr._ensure_image_pool(meta)
+    want = cfg.mining_cache_size + cfg.mining_step
+
+    tr._mining_refresh(0, 18, 0, meta, anchors)
+    _, tail_idx, tail_order = _snapshot(tr.mining_cache)
+    assert len(tail_idx) == want and tail_order.shape == (want, want)
+    # the 2 remaining anchors are still in the window
+    assert set(anchors[18:]).issubset(set(tail_idx))
+
+    tr._mining_refresh(0, 0, 0, meta, anchors)
+    _, full_idx, full_order = _snapshot(tr.mining_cache)
+    assert len(full_idx) == want and full_order.shape == (want, want)
+    tr.close()
+
+
+@pytest.mark.slow
 def test_device_only_extraction_is_float32_under_bf16(tmp_path):
     """spp / flattened-map configs with bf16 compute emit bf16 embeddings;
     device_only extraction must cast to float32 before any sum-of-squares
