@@ -207,6 +207,13 @@ class TrainConfig:
     # HBM note: the overlap costs one extra copy of the params tree plus the
     # embed activations living alongside the train step's — configs sized
     # within a few percent of the HBM ceiling should keep the barrier.
+    # Measured verdict (docs/TRAINBENCH.md "On-chip sync-vs-async"): with
+    # the order-only refresh, the SYNCHRONOUS barrier is faster end-to-end
+    # on relay-attached chips (1,028 vs 906 img/s with-mining) because the
+    # worker's concurrent dispatches serialize with the training stream;
+    # keep this False there, and opt in only when host-side features are
+    # needed at the boundary (streaming PCA / incremental losses) or on
+    # direct-attached hosts where concurrent dispatch is cheap.
     async_mining: bool = False
     eval_step: int = 100
     save_step: int = 500
