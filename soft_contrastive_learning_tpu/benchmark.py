@@ -219,12 +219,15 @@ def main() -> None:
     if errors:
         print(f"# skipped configs: {errors}", file=sys.stderr)
     precision, bs = config
+    # derive the recorded shape from the swept config — a hardcoded string
+    # would silently go stale if _flagship_cfg changes
+    cfg = _flagship_cfg(use_pallas=False)
     detail = {
         "backend": jax.default_backend(),
         "precision": precision,
         "batch_size": bs,
-        "input": "180x240x3",
-        "descriptor_dim": 32768,
+        "input": f"{cfg.image_height}x{cfg.image_width}x3",
+        "descriptor_dim": cfg.descriptor_dim,
     }
     if precision == "int8-ptq":
         detail["int8_vs_float_descriptor_cosine"] = round(int8_cosine, 6)

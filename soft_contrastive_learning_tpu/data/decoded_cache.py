@@ -93,6 +93,12 @@ def build_decoded_cache(
     new_keys = [k for k in wanted if _key_str(k) not in old_set]
     n_old, n_new = len(old_keys), len(new_keys)
     total = n_old + n_new
+    if total == 0:
+        # empty key set on a fresh dir: np.memmap refuses a zero-size
+        # mapping — make the stage a no-op instead (readers see no cache
+        # and fall back to the decode path)
+        log("decoded cache: no keys requested and no existing cache")
+        return side
     row_bytes = h * w * 3
     log(f"decoded cache: {n_old} cached, {n_new} to decode -> {data}")
 

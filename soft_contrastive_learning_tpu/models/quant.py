@@ -97,8 +97,14 @@ def calibrate_scales(params, images) -> Dict[str, float]:
     _, maxes = jax.jit(
         lambda p, x: _float_conv_stack(p["vgg16"], x, record_absmax=True)
     )(params, images)
+    # one batched transfer (13 per-scalar float()s would pay one relay RTT
+    # each); an all-zero activation (dead layer on the calibration batch)
+    # would make _requant divide by zero at trace time — scale 1.0 quantizes
+    # it to zeros, mirroring the weight-scale guard in _quantize_weight
+    maxes = [float(m) for m in jax.device_get(maxes)]
     return {
-        name: float(m) / 127.0 for name, m in zip(CONV_NAMES, maxes)
+        name: (m / 127.0 if m > 0 else 1.0)
+        for name, m in zip(CONV_NAMES, maxes)
     }
 
 

@@ -501,18 +501,17 @@ class Trainer:
 
     # ------------------------------------------------------------ eval
     def _eval_loss_other(
-        self, epoch: int, global_step: int, eval_ordinal: Optional[int] = None
+        self, epoch: int, global_step: int, eval_ordinal: int
     ) -> None:
         """Held-out-region training loss (reference get_eval_loss,
-        train/train.py:1112-1149)."""
+        train/train.py:1112-1149). ``eval_ordinal`` counts in anchor steps
+        (see _run_eval) — global_step counts batches, so deriving a window
+        from it here would replay the same queries tuples_per_batch times."""
         cfg = self.cfg
         meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
         sampler = self._sampler_for(meta, rng=self.eval_rng)
         n = len(meta["t"])
-        test_number = (
-            eval_ordinal if eval_ordinal is not None
-            else global_step // max(cfg.eval_step, 1)
-        )
+        test_number = eval_ordinal
         per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
         idx = np.arange(test_number * per_eval, (test_number + 1) * per_eval) % n
         outs = []
@@ -541,20 +540,18 @@ class Trainer:
 
     def _eval_localization(
         self, epoch: int, global_step: int, ref_set: str, query_set: str,
-        mode: str, eval_ordinal: Optional[int] = None,
+        mode: str, eval_ordinal: int,
     ) -> Dict[str, float]:
         """In-training localization eval (reference evaluate_localization,
-        train/train.py:1156-1193) with on-device brute-force top-k."""
+        train/train.py:1156-1193) with on-device brute-force top-k.
+        ``eval_ordinal`` counts in anchor steps (see _run_eval)."""
         cfg = self.cfg
         ref_meta = self.source.cluster_meta(ref_set, cfg.eval_ref_r)
         n_ref = len(ref_meta["t"])
         ref_xy = get_xy(ref_meta)
 
         query_meta = self.source.epoch_meta(query_set, epoch)
-        test_number = (
-            eval_ordinal if eval_ordinal is not None
-            else global_step // max(cfg.eval_step, 1)
-        )
+        test_number = eval_ordinal
         q_idx = np.arange(
             test_number * cfg.num_eval_queries,
             (test_number + 1) * cfg.num_eval_queries,

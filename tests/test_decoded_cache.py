@@ -153,3 +153,16 @@ def test_async_scalar_logger_device_scalars():
     log.drain()
     log.close()
     assert [v["loss"] for _, v in written] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_cache_empty_keys_is_noop(tmp_path, src):
+    """No keys + no existing cache: the builder must be a no-op (np.memmap
+    refuses zero-size mappings), and readers fall back to the decode path."""
+    cache_dir = str(tmp_path / "cache")
+    side = build_decoded_cache(src, [], 32, 40, True, cache_dir,
+                               log=lambda *_: None)
+    assert not os.path.exists(side)  # nothing written
+    cached_src = CachedDecodedSource(src, cache_dir)
+    assert cached_src.load_images_normalized(
+        _keys(src.epoch_meta("train_ref", 0), 2), 32, 40, True
+    ) is None  # falls back, no crash

@@ -151,3 +151,34 @@ def test_packed_stem_odd_width_fallback():
     direct = quantized_conv_stack(params["vgg16"], scales, x)
     packed = quantized_conv_stack(params["vgg16"], scales, x, packed_stem=True)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(direct))
+
+
+def test_calibration_zero_activation_guard():
+    """A dead layer (all-zero activations on the calibration batch) must
+    calibrate to scale 1.0 — not 0.0, which would divide by zero inside
+    _requant at trace time (mirrors _quantize_weight's s_safe guard)."""
+    cfg, model, params, x = _setup()
+    # zero conv1_2's kernel AND bias: after its ReLU the activation map is
+    # identically zero, so conv2_1's calibrated input absmax is 0
+    blk1 = dict(params["vgg16"]["block1"])
+    blk1["conv1_2"] = {
+        "kernel": jnp.zeros_like(blk1["conv1_2"]["kernel"]),
+        "bias": jnp.zeros_like(blk1["conv1_2"]["bias"]),
+    }
+    vgg = dict(params["vgg16"])
+    vgg["block1"] = blk1
+    params = dict(params)
+    params["vgg16"] = vgg
+
+    scales = calibrate_scales(params, x)
+    assert scales["block2/conv2_1"] == 1.0
+    assert all(np.isfinite(s) and s > 0 for s in scales.values())
+
+    # the quantized stack must trace and produce finite values (zero input
+    # quantizes to zeros; downstream convs emit their biases)
+    from soft_contrastive_learning_tpu.models.quant import quantized_conv_stack
+
+    out = jax.jit(
+        lambda p, a: quantized_conv_stack(p["vgg16"], scales, a)
+    )(params, x)
+    assert np.isfinite(np.asarray(out)).all()
