@@ -51,13 +51,20 @@ def main():
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
             return c
 
-        try:
-            f = jax.jit(many, compiler_options=opts)
-            float(f(params, x))
-        except Exception as e:  # vmem option can fail to compile at size
+        f = jax.jit(many, compiler_options=opts)
+        try:  # compile only: the vmem option can fail to compile at size
+            compiled = f.lower(params, x).compile()
+        except Exception as e:
             print(f"int8 bs={bs} {tag}: compile failed: "
                   f"{type(e).__name__}: {str(e)[:120]}", flush=True)
             continue
+        try:  # warm-up execution: an OOM here is a RUN-time failure
+            float(compiled(params, x))
+        except Exception as e:
+            print(f"int8 bs={bs} {tag}: run failed: "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        f = compiled
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()

