@@ -23,10 +23,8 @@ Capability parity with the reference's train()/train_one_epoch()
 from __future__ import annotations
 
 import os
-import threading
-import time
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -43,20 +41,27 @@ from soft_contrastive_learning_tpu.checkpoints.manager import (
     warm_start_params,
 )
 from soft_contrastive_learning_tpu.data.pipeline import (
-    Prefetcher,
     assemble_batch,
     load_images_standard,
 )
 from soft_contrastive_learning_tpu.losses.registry import build_loss
 from soft_contrastive_learning_tpu.models.model import create_model, init_params
-from soft_contrastive_learning_tpu.ops.topk import topk_l2
 from soft_contrastive_learning_tpu.parallel.mesh import (
-    pad_to_multiple, shard_batch, shard_batch_stacked,
+    pad_to_multiple, shard_batch,
 )
 from soft_contrastive_learning_tpu.pca.async_updater import AsyncPCAUpdater
 from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
-from soft_contrastive_learning_tpu.sampling.mining import MiningCache, neighbor_order
+from soft_contrastive_learning_tpu.sampling.mining import neighbor_order
 from soft_contrastive_learning_tpu.sampling.tuples import TupleSampler
+from soft_contrastive_learning_tpu.train.eval_hooks import EvalHooks
+from soft_contrastive_learning_tpu.train.mining_manager import (
+    MiningCancelled as _MiningCancelled,  # re-export: tests import from here
+    MiningManager,
+)
+from soft_contrastive_learning_tpu.train.segment import (
+    EVAL_SAVE_SPANS,  # re-export: bench_train keys its metrics off this
+    run_segment,
+)
 from soft_contrastive_learning_tpu.train.step import (
     build_embed_pool_step,
     build_embed_step,
@@ -66,34 +71,7 @@ from soft_contrastive_learning_tpu.train.step import (
     init_train_state,
 )
 from soft_contrastive_learning_tpu.launch.multihost import is_primary
-from soft_contrastive_learning_tpu.evaluation.metrics import (
-    localization_summary,
-    save_curve_plot,
-)
 from soft_contrastive_learning_tpu.utils.meta import get_xy, get_yaw
-
-
-# StepTimer spans subtracted from steady-state throughput windows (in-segment
-# eval/save events). bench_train.py keys its with_mining metric off the same
-# tuple — keep them from drifting by sharing this constant.
-EVAL_SAVE_SPANS = ("eval_loss", "eval_localization", "ckpt_save")
-
-
-class _MiningCancelled(Exception):
-    """Async mining refresh aborted cooperatively (unwind/close): not an
-    error — the cache simply keeps its previous window."""
-
-
-def _rand_pairs(rng: np.random.Generator, n: int, m: int) -> List[Tuple[int, int]]:
-    """m distinct unordered index pairs out of n items
-    (reference rand_pairs/decode, train/train.py:41-51)."""
-    total = n * (n - 1) // 2
-    picks = rng.choice(total, size=min(m, total), replace=False)
-    out = []
-    for i in picks:
-        k = int((1 + np.sqrt(1 + 8 * i)) // 2)
-        out.append((k, int(i - k * (k - 1) // 2)))
-    return out
 
 
 class Trainer:
@@ -169,7 +147,12 @@ class Trainer:
         self._image_pool = None
         self._pool_rows = None  # meta-row -> pool-row map for current epoch
 
-        self.mining_cache = MiningCache()
+        # Mining + eval subsystems (train/mining_manager.py,
+        # train/eval_hooks.py): the trainer keeps thin delegates so the
+        # subsystem seams stay overridable per-instance (tests, subclasses).
+        self.mining = MiningManager(self)
+        self.mining_cache = self.mining.cache
+        self.evals = EvalHooks(self)
         self._neighbor_order = jax.jit(neighbor_order)
         self.pca = StreamingPCA(cfg.model.out_dim, cfg.forgetting_factor) \
             if cfg.model.reduction == "pca" else None
@@ -187,10 +170,6 @@ class Trainer:
         self._current_epoch = 0
         self._seg_ctx = None  # live segment position for mid-epoch checkpoints
         self._updater = None  # per-segment AsyncPCAUpdater (async_pca mode)
-        self._mining_thread = None  # in-flight refresh worker (async_mining)
-        self._mining_error = None
-        self._mining_cancel = None  # cooperative-abort event for the worker
-        self._params_copy = None  # jitted params snapshot (donation-safe)
         self._resume_ctx = None  # set by resume_latest for the first epoch
         self.used_images: set = set()
         # Per-step loss/LR logging without blocking the dispatch loop: the
@@ -317,328 +296,35 @@ class Trainer:
         return feats
 
     # ------------------------------------------------------------ mining
-    def _mining_refresh(
-        self, epoch: int, step: int, mining_count: int, meta, anchor_indices,
-        update_pca: bool = True, params=None, cancel=None,
-    ) -> None:
-        """Reference train/train.py:1012-1068. ``update_pca=False`` rebuilds
-        only the mining cache — used on mid-segment resume, where the restored
-        streaming-PCA state already contains this window's update.
-        ``params`` pins the embedding params (async mining passes the
-        boundary-time snapshot); default = the live ``self.state.params``.
-        ``cancel``: optional threading.Event checked between embed chunks
-        (cooperative abort for an unwinding async refresh)."""
-        cfg = self.cfg
-        n_meta = len(meta["t"])
-        window = np.arange(
-            mining_count * cfg.mining_cache_size,
-            (mining_count + 1) * cfg.mining_cache_size,
-        ) % n_meta
-        upcoming = np.asarray(
-            anchor_indices[step : min(step + cfg.mining_step, len(anchor_indices))]
-        )
-        # Static shapes, the XLA way: at an epoch tail ``upcoming`` shrinks
-        # (anchors % mining_step), which would give the (C, C) neighbor-order
-        # jit a fresh shape — a full remote recompile per distinct tail.
-        # Extend the rolling window to keep len(mine_idx) fixed at
-        # cache_size + mining_step (deviation from the reference, which
-        # caches whatever remains, train/train.py:1021-1030: a few extra
-        # rolling-window members are semantically neutral — the window is an
-        # arbitrary rolling subset already).
-        deficit = cfg.mining_step - len(upcoming)
-        if deficit > 0:
-            extension = np.arange(
-                (mining_count + 1) * cfg.mining_cache_size,
-                (mining_count + 1) * cfg.mining_cache_size + deficit,
-            ) % n_meta
-            window = np.concatenate([window, extension])
-        mine_idx = np.concatenate([window, upcoming])
-
-        full_feats = cfg.model.reduction == "pca"
-        # Order-only fast path: the sampler consumes nothing but
-        # sorted_neighbors, so when no host-side state needs the features
-        # (no streaming PCA, loss-PCA already initialized) the window never
-        # crosses to the host at all — the embed chunks stay in HBM, the
-        # neighbor order is computed on device, and only the (C, C) int32
-        # order is fetched (~30x fewer bytes than the f32 features at
-        # flagship width; through the relay this removes the dominant
-        # per-boundary cost, docs/TRAINBENCH.md "Async mining refresh").
-        order_only = (
-            not full_feats
-            and self.pca is None
-            and (self.loss_pca is None or self.loss_pca.initialized)
-        )
-        if order_only:
-            feats = None
-            dev_feats = self.extract_features(
-                meta, mine_idx, device_only=True, params=params,
-                cancel=cancel,
-            )
-        else:
-            feats, dev_chunks = self.extract_features(
-                meta, mine_idx, full_feats=full_feats, keep_device=True,
-                params=params, cancel=cancel,
-            )
-        # The tail below (neighbor-order matmul + fetch + cache swap) also
-        # honors cancellation: a cancelled refresh must neither block on
-        # another device fetch nor swap a half-trusted window in.
-        if cancel is not None and cancel.is_set():
-            raise _MiningCancelled()
-
-        if self.pca is not None:
-            if not self.pca.initialized:
-                self.pca.init(feats)
-            elif update_pca:
-                self.pca.update_multi(feats, cfg.images_per_batch)
-            feats = self.pca.whiten(feats).astype(np.float32)
-
-        if self.loss_pca is not None and not self.loss_pca.initialized:
-            if "residual" in cfg.loss.name:
-                pairs = _rand_pairs(self.rng, len(mine_idx), cfg.loss.loss_dim + 1)
-                residuals = np.stack([feats[i] - feats[j] for i, j in pairs])
-                self.loss_pca.init(residuals)
-            else:
-                self.loss_pca.init(feats)
-
-        # Sorted-neighbor order ON DEVICE (sampling/mining.py::neighbor_order):
-        # one Gram matmul + argsort at refresh time replaces a C x D host
-        # matvec per anchor in the hot loop. The whitened (pca) path uploads
-        # the small whitened matrix; otherwise the embed chunks are still
-        # resident on device and nothing re-crosses the relay.
-        try:
-            if self.pca is not None and self.pca.initialized:
-                dev_feats = jnp.asarray(feats)
-            elif not order_only:
-                dev_feats = (
-                    jnp.concatenate(dev_chunks)[: len(mine_idx)]
-                    .astype(jnp.float32)
-                )
-            order = np.asarray(self._neighbor_order(dev_feats))
-        except Exception as e:  # fall back to host matvec queries
-            self.log(f"device neighbor-order failed ({e}); host fallback")
-            order = None
-            if feats is None:
-                # order-only path has no host copy yet: the cache must be
-                # able to answer queries, so fetch the window after all
-                # (one transfer — the array is already concatenated)
-                feats = np.asarray(dev_feats)
-
-        if cancel is not None and cancel.is_set():
-            raise _MiningCancelled()  # keep the previous window
-        self.mining_cache.refresh(feats, mine_idx, order=order)
+    # Thin delegates into MiningManager (train/mining_manager.py). They stay
+    # methods on the trainer so tests/subclasses can override any one seam
+    # per-instance (e.g. stub _mining_refresh and still exercise the spawn/
+    # join machinery); the spawn delegate passes self._mining_refresh so the
+    # worker runs exactly the (possibly overridden) instance attribute.
+    def _mining_refresh(self, *args, **kwargs) -> None:
+        return self.mining.refresh(*args, **kwargs)
 
     def _spawn_mining_refresh(
         self, epoch: int, step0: int, mining_count: int, meta, anchor_indices
     ) -> None:
-        """Dispatch a mining refresh on a worker thread (cfg.async_mining).
-
-        The embed is pinned to a snapshot of the boundary-time params — the
-        same params a synchronous refresh would use — while the main loop
-        keeps dispatching train steps against the live ``self.state``. The
-        worker's device work serializes into the same device stream; only its
-        blocking host fetches move off the training thread. The sampler keeps
-        answering from the previous window until ``MiningCache.refresh`` swaps
-        the new one in under the cache lock.
-
-        The snapshot must be a real on-device COPY: the jitted train step
-        donates its state, so the live params' buffers are invalidated the
-        moment the main loop dispatches the next step. One HBM-to-HBM copy
-        of the params (sub-ms at flagship scale, dispatched async, nothing
-        crosses the host) per boundary buys the pinning."""
-        if self._params_copy is None:
-            self._params_copy = jax.jit(
-                lambda t: jax.tree_util.tree_map(jnp.copy, t)
-            )
-        params = self._params_copy(self.state.params)
-        cancel = threading.Event()
-        self._mining_cancel = cancel
-
-        def work():
-            try:
-                with self.timer.span("mining_refresh_async"):
-                    self._mining_refresh(
-                        epoch, step0, mining_count, meta, anchor_indices,
-                        params=params, cancel=cancel,
-                    )
-            except _MiningCancelled:
-                pass  # deliberate abort: keep the previous window
-            except BaseException as e:  # surfaced by the next _join_mining
-                self._mining_error = e
-
-        t = threading.Thread(target=work, name="mining-refresh", daemon=True)
-        self._mining_thread = t
-        t.start()
+        self.mining.spawn(
+            self._mining_refresh, epoch, step0, mining_count, meta,
+            anchor_indices,
+        )
 
     def _join_mining(self, raise_error: bool = True,
                      cancel: bool = False) -> None:
-        """Wait for an in-flight async refresh (no-op without one) and
-        surface any error it captured.
+        self.mining.join(raise_error=raise_error, cancel=cancel)
 
-        ``cancel=True`` aborts the refresh cooperatively instead of waiting
-        it out — used on unwind/close (a worker failure must not mask the
-        original exception, hence also ``raise_error=False`` there) and at
-        epoch end (the landed window would be discarded anyway: the next
-        epoch's first boundary rebuilds synchronously on the reshuffled
-        meta). The cancel event is checked between embed chunks and before
-        the neighbor-order fetch / cache swap. The wait bound depends on the
-        feed path: on host feed it is ~one in-flight chunk (each chunk's
-        image IO + upload sits between checks); on the device-pool
-        order-only path the dispatches are near-instant, so a cancel that
-        lands after the last chunk waits out the already-enqueued window
-        embed + order fetch (device work that was committed at spawn; an
-        already-issued blocking call cannot be interrupted)."""
-        t, self._mining_thread = self._mining_thread, None
-        if t is not None:
-            if (cancel or not raise_error) and self._mining_cancel is not None:
-                self._mining_cancel.set()
-            t.join()
-        self._mining_cancel = None
-        err, self._mining_error = self._mining_error, None
-        if err is not None:
-            if raise_error:
-                raise RuntimeError("async mining refresh failed") from err
-            self.log(f"async mining refresh error during unwind: {err}")
+    @property
+    def _mining_thread(self):
+        return self.mining._thread
+
+    @property
+    def _mining_error(self):
+        return self.mining._error
 
     # ------------------------------------------------------------ eval
-    def _eval_loss_other(
-        self, epoch: int, global_step: int, eval_ordinal: int
-    ) -> None:
-        """Held-out-region training loss (reference get_eval_loss,
-        train/train.py:1112-1149). ``eval_ordinal`` counts eval FIRINGS
-        (abs_step // eval_step, see _run_eval) — global_step counts batches,
-        so deriving a window from it here would replay the same queries
-        tuples_per_batch times."""
-        cfg = self.cfg
-        meta = self.source.epoch_meta(cfg.other_ref_set, epoch)
-        sampler = self._sampler_for(meta, rng=self.eval_rng)
-        n = len(meta["t"])
-        test_number = eval_ordinal
-        per_eval = (cfg.num_eval_queries // cfg.tuples_per_batch) * cfg.tuples_per_batch
-        idx = np.arange(test_number * per_eval, (test_number + 1) * per_eval) % n
-        outs = []
-        for chunk in idx.reshape(-1, cfg.tuples_per_batch):
-            sample = sampler.sample(chunk, use_hard=False)
-            if sample is None:
-                continue
-            batch = assemble_batch(cfg, self.source, meta, sample.indices,
-                                   sample.payload, epoch, self._pool)
-            batch = shard_batch(self._augment_batch(batch), self.mesh)
-            outs.append(self.eval_loss_step(self.state.params, batch))
-        # One batched transfer after all chunks are dispatched: a float()
-        # inside the loop would pay a full transport RTT per chunk — and
-        # per-key float() here would still pay one RTT per scalar
-        # (docs/TRAINBENCH.md).
-        losses = [
-            {k: float(v) for k, v in out.items()}
-            for out in jax.device_get(outs)
-        ]
-        if losses:
-            mean = {k: float(np.mean([d[k] for d in losses])) for k in losses[0]}
-            self.writers["other"].scalars(mean, global_step)
-            self.log(f"Other region loss: {mean}")
-        else:
-            self.log("Evaluated but got no valid losses.")
-
-    def _eval_localization(
-        self, epoch: int, global_step: int, ref_set: str, query_set: str,
-        mode: str, eval_ordinal: int,
-    ) -> Dict[str, float]:
-        """In-training localization eval (reference evaluate_localization,
-        train/train.py:1156-1193) with on-device brute-force top-k.
-        ``eval_ordinal`` counts eval FIRINGS (abs_step // eval_step,
-        see _run_eval)."""
-        cfg = self.cfg
-        ref_meta = self.source.cluster_meta(ref_set, cfg.eval_ref_r)
-        n_ref = len(ref_meta["t"])
-        ref_xy = get_xy(ref_meta)
-
-        query_meta = self.source.epoch_meta(query_set, epoch)
-        test_number = eval_ordinal
-        q_idx = np.arange(
-            test_number * cfg.num_eval_queries,
-            (test_number + 1) * cfg.num_eval_queries,
-        ) % len(query_meta["t"])
-        query_xy = get_xy(query_meta)[q_idx]
-
-        # Latent retrieval runs entirely on device; without a host-side
-        # whitening step the feature matrices never cross to the host at
-        # all — only the (Q, k) int32 neighbor indices do (topk_l2 computes
-        # the same distances either way; this just skips the D2H+H2D
-        # roundtrip of ref/query features, which dominates eval cost
-        # through the relay — same reasoning as the order-only mining
-        # refresh, docs/TRAINBENCH.md).
-        if self.pca is None:
-            ref_features = self.extract_features(
-                ref_meta, np.arange(n_ref), device_only=True
-            )
-            query_features = self.extract_features(
-                query_meta, q_idx, device_only=True
-            )
-        else:
-            ref_features = self.extract_features(ref_meta, np.arange(n_ref))
-            query_features = self.extract_features(query_meta, q_idx)
-
-        k = min(5, n_ref)
-        _, latent_idx = topk_l2(query_features, ref_features, k)
-        latent_idx = np.asarray(latent_idx)
-        # Geographic nearest ref on host in float64: raw UTM coordinates
-        # (~1e6 m) destroy fp32 precision in the q^2-2qr+r^2 device expansion
-        # (the reference used an exact float64 KDTree here, train/train.py:1184).
-        geo_d = np.linalg.norm(
-            query_xy[:, None, :] - ref_xy[None, :, :], axis=-1
-        )  # (Q, R) float64
-        opt_idx = np.argmin(geo_d, axis=1)[:, None]
-        opt_dists = geo_d[np.arange(len(query_xy)), opt_idx[:, 0]]
-
-        scalars, curves = localization_summary(query_xy, ref_xy, latent_idx, opt_dists)
-        self.writers[mode].scalars(scalars, global_step)
-        self.log(f"[{mode}] localization @{global_step}: {scalars}")
-        if self.save_plots:
-            for rad, bundle in curves.items():
-                save_curve_plot(
-                    bundle, rad, f"{mode} epoch {epoch}",
-                    os.path.join(self.out_dir, f"{mode}_{epoch:02d}_{global_step}_{rad}.pdf"),
-                )
-            self._save_triptychs(
-                mode, epoch, global_step, query_meta, q_idx, ref_meta,
-                latent_idx, opt_idx, query_xy, ref_xy,
-            )
-        return scalars
-
-    def _save_triptychs(
-        self, mode, epoch, global_step, query_meta, q_idx, ref_meta,
-        latent_idx, opt_idx, query_xy, ref_xy, num_examples: int = 10,
-    ) -> None:
-        """Query / retrieved / optimal image triptychs
-        (reference evaluate_localization_thread, train/train.py:399-420)."""
-        from soft_contrastive_learning_tpu.utils.cv import merge_images, put_text
-        from soft_contrastive_learning_tpu.utils.io import save_img
-
-        out_dir = os.path.join(
-            self.out_dir, f"{mode}_{epoch:02d}_{global_step}_examples"
-        )
-        os.makedirs(out_dir, exist_ok=True)
-        picks = self.eval_rng.choice(
-            len(q_idx), size=min(num_examples, len(q_idx)), replace=False
-        )
-        for i in picks:
-            qi = int(q_idx[i])
-            q_key = (query_meta["date"][qi], query_meta["folder"][qi], query_meta["t"][qi])
-            ri = int(latent_idx[i, 0])
-            r_key = (ref_meta["date"][ri], ref_meta["folder"][ri], ref_meta["t"][ri])
-            oi = int(opt_idx[i, 0])
-            o_key = (ref_meta["date"][oi], ref_meta["folder"][oi], ref_meta["t"][oi])
-            try:
-                q_img = put_text("Query", self.source.load_image(q_key).copy())
-                d_r = float(np.linalg.norm(query_xy[i] - ref_xy[ri]))
-                r_img = put_text(f"Retrieved {d_r:.1f}", self.source.load_image(r_key).copy())
-                d_o = float(np.linalg.norm(query_xy[i] - ref_xy[oi]))
-                o_img = put_text(f"Optimal {d_o:.1f}", self.source.load_image(o_key).copy())
-                merged = merge_images(merge_images(q_img, r_img), o_img)
-                save_img(merged, os.path.join(out_dir, f"{q_key[2]}.png"))
-            except Exception as e:  # missing image file: skip the example
-                self.log(f"triptych skipped: {e}")
-
     # ------------------------------------------------------------ training
     def train(self) -> None:
         for epoch in range(self.start_epoch, self.cfg.max_epoch):
@@ -871,7 +557,7 @@ class Trainer:
             pool_rows = self._pool_rows
 
             def build(i: int, _offset=offset, _sample_for=sample_for,
-                      _steps=seg_steps, _pool_rows=pool_rows):
+                      _pool_rows=pool_rows):
                 with self.timer.span("host_build"):
                     sample = _sample_for(i + _offset)
                     if sample is None:
@@ -892,215 +578,12 @@ class Trainer:
                         )
                 return batch, sample.used_indices
 
-            consumed = 0
-            n_items = len(seg_steps) - offset
-            prefetcher = Prefetcher(build, n_items)
-            K = max(int(cfg.steps_per_dispatch), 1)
-            fused_ok = K > 1 and self.train_step_scan is not None
-
-            def maybe_profile_start():
-                if self._profile_steps > 0 and not self._profiling:
-                    import jax.profiler
-
-                    jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
-                    self._profiling = True
-
-            def maybe_profile_stop():
-                if self._profiling and self.global_step >= self._profile_steps:
-                    import jax.profiler
-
-                    jax.profiler.stop_trace()
-                    self._profiling = False
-                    self._profile_steps = 0
-
-            def submit_scalars(metrics, i=None):
-                pick = (lambda v: v if i is None else v[i])
-                scalars = {
-                    "loss": pick(metrics["loss"]),
-                    "learning_rate": pick(metrics["learning_rate"]),
-                }
-                if self.cfg.loss.pn_loss:
-                    scalars["loss_pos"] = pick(metrics["loss_pos"])
-                    scalars["loss_neg"] = pick(metrics["loss_neg"])
-                self.metrics_logger.submit(self.global_step, scalars)
-
-            def process_single(item):
-                batch, used = item
-                maybe_profile_start()
-                with self.timer.span("train_step"):
-                    snaps = updater.feed_states() if updater is not None else None
-                    device_batch = shard_batch(
-                        self._augment_batch(batch, snaps), self.mesh
-                    )
-                    if pool_rows is not None:
-                        self.state, metrics = self.train_step_pooled(
-                            self.state, device_batch, self._image_pool.array
-                        )
-                    else:
-                        self.state, metrics = self.train_step(
-                            self.state, device_batch
-                        )
-                self.used_images.update(used)
-                # Host-side step counter: state.step increments by exactly 1
-                # per train_step, so counting here avoids a device fetch (a
-                # full relay RTT) in the hot loop; resume re-seeds it from
-                # the restored state.step (resume_latest).
-                self.global_step += 1
-                submit_scalars(metrics)
-                with self.timer.span("pca_update"):
-                    has_in = ("pca_in" in metrics) or ("loss_pca_in" in metrics)
-                    if updater is not None and has_in:
-                        # async: the worker fetches + applies while the
-                        # device runs the next step (deterministic lag-2)
-                        updater.submit(
-                            metrics.get("pca_in"), metrics.get("loss_pca_in")
-                        )
-                    elif updater is None:
-                        if self.pca is not None and "pca_in" in metrics:
-                            self.pca.update(np.asarray(metrics["pca_in"]))
-                        if self.loss_pca is not None and "loss_pca_in" in metrics:
-                            self.loss_pca.update(np.asarray(metrics["loss_pca_in"]))
-                maybe_profile_stop()
-
-            def process_group(items):
-                # K-step fused dispatch (train/step.py::build_train_step_scan):
-                # leaves stacked to (K, ...), one transfer set + one scan call.
-                maybe_profile_start()
-                # host assembly OUTSIDE the train_step span: the K-batch
-                # np.stack is host memcpy and belongs with host_build, not
-                # device step time (process_single only device_puts inside
-                # its span — keep the two attributions comparable)
-                with self.timer.span("host_build"):
-                    stacked = {
-                        k: np.stack([b[k] for b, _ in items])
-                        for k in items[0][0]
-                    }
-                with self.timer.span("train_step"):
-                    device_batch = shard_batch_stacked(stacked, self.mesh)
-                    if pool_rows is not None:
-                        self.state, ms = self.train_step_scan_pooled(
-                            self.state, device_batch, self._image_pool.array
-                        )
-                    else:
-                        self.state, ms = self.train_step_scan(
-                            self.state, device_batch
-                        )
-                for _, used in items:
-                    self.used_images.update(used)
-                for i in range(len(items)):
-                    self.global_step += 1
-                    submit_scalars(ms, i)
-                maybe_profile_stop()
-
-            def boundary(j: int) -> bool:
-                """Does item j host an eval/save event (processed singly)?"""
-                s = int(seg_steps[j])
-                return s % cfg.eval_step == 0 or s % cfg.save_step == 0
-
-            it = iter(prefetcher)
-            _NO_ITEM = object()
-            pending = _NO_ITEM
-            # Steady-state segment window: sync the device queue here, time
-            # through to the post-loop drain + sync, and subtract in-segment
-            # eval/save span time. Because dispatch is fully async, per-call
-            # spans can't see the device time — only sync-to-sync windows
-            # measure true sustained throughput ('segment_steady' span,
-            # consumed by bench_train).
-            np.asarray(self.state.step)  # sync point (one fetch)
-            seg_t0 = time.perf_counter()
-            seg_excl0 = self._span_total(*EVAL_SAVE_SPANS)
-            # Deferred from the boundary: segment setup is done, and the
-            # refresh's device work lands inside the timed window (the
-            # overlap is the thing being measured). From here every exit
-            # path joins the worker (except hook / epoch-end join).
-            if spawn_args is not None:
-                self._spawn_mining_refresh(*spawn_args)
-            try:
-                while True:
-                    if pending is _NO_ITEM:
-                        try:
-                            with self.timer.span("data_wait"):
-                                pending = next(it)
-                        except StopIteration:
-                            break
-                    abs_step = int(seg_steps[offset + consumed])
-                    # items fully processed so far (the current one re-trains
-                    # on resume; its eval/save are suppressed by resume)
-                    self._seg_ctx["consumed"] = offset + consumed
-                    side_effects = not suppress_side_effects_once
-                    suppress_side_effects_once = False
-                    if side_effects and abs_step % cfg.eval_step == 0:
-                        self._run_eval(epoch, abs_step // max(cfg.eval_step, 1))
-                    if side_effects and abs_step % cfg.save_step == 0:
-                        with self.timer.span("ckpt_save"):
-                            if updater is not None:
-                                updater.drain()
-                            self.ckpts.save(
-                                "part", self.global_step, self.state,
-                                self._pca_sd(), self._loss_pca_sd(),
-                                self._extras(),
-                            )
-                    item, pending = pending, _NO_ITEM
-                    if item is None:
-                        self.log("Faulty training batch... skipping.")
-                        consumed += 1
-                        self._seg_ctx["consumed"] = offset + consumed
-                        continue
-                    # Form a full K-group only when K boundary-free items
-                    # remain (shorter groups would each compile a new scan
-                    # length; stragglers run on the single-step executable).
-                    group = [item]
-                    if fused_ok:
-                        j0 = offset + consumed
-                        room = all(
-                            j0 + i < len(seg_steps) and not boundary(j0 + i)
-                            for i in range(1, K)
-                        )
-                        while room and len(group) < K:
-                            try:
-                                with self.timer.span("data_wait"):
-                                    nxt = next(it)
-                            except StopIteration:
-                                break
-                            if nxt is None:
-                                pending = None  # faulty: handle after group
-                                break
-                            group.append(nxt)
-                    if len(group) == K and fused_ok:
-                        process_group(group)
-                        consumed += K
-                    else:
-                        for g in group:
-                            process_single(g)
-                            consumed += 1
-                    self._seg_ctx["consumed"] = offset + consumed
-            except BaseException:
-                # Early exit: unblock the producer thread (it would otherwise
-                # stay parked on the bounded queue holding decoded batches),
-                # and don't let updater.close() (which drains and re-raises
-                # queued worker errors) mask the original exception.
-                prefetcher.close()
-                if updater is not None:
-                    try:
-                        updater.close()
-                    except Exception as drain_err:
-                        self.log(f"PCA worker error during unwind: {drain_err}")
-                self._updater = None
-                self._join_mining(raise_error=False)
-                raise
-            else:
-                prefetcher.close()
-                if updater is not None:
-                    updater.close()
-                self._updater = None
-                self.metrics_logger.drain()
-                np.asarray(self.state.step)  # absorb the device tail
-                excl = self._span_total(*EVAL_SAVE_SPANS) - seg_excl0
-                self.timer.add(
-                    "segment_steady",
-                    time.perf_counter() - seg_t0 - excl,
-                    count=consumed,
-                )
+            suppress_side_effects_once = run_segment(
+                self, epoch=epoch, seg_steps=seg_steps, offset=offset,
+                build=build, updater=updater, pool_rows=pool_rows,
+                spawn_args=spawn_args,
+                suppress_first=suppress_side_effects_once,
+            )
             seg_start = seg_end
         # Settle any refresh still in flight from the last segment before
         # epoch-end eval/checkpointing — cancelled rather than waited out,
@@ -1153,13 +636,13 @@ class Trainer:
                 self._extras(),
             )
         with self.timer.span("eval_loss"):
-            self._eval_loss_other(epoch, gs, eval_ordinal)
+            self.evals.loss_other(epoch, gs, eval_ordinal)
         with self.timer.span("eval_localization"):
-            self._eval_localization(
+            self.evals.localization(
                 epoch, gs, self.cfg.other_ref_set, self.cfg.other_query_set,
                 "other", eval_ordinal,
             )
-            self._eval_localization(
+            self.evals.localization(
                 epoch, gs, self.cfg.local_ref_set, self.cfg.local_query_set,
                 "local", eval_ordinal,
             )
