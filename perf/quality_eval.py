@@ -13,8 +13,10 @@ of the SAME train loop (every 3rd point as query, rest as index), plus
 the same protocol on the held-out test loop.
 
 Run alone on the chip AFTER perf/quality_run.py:
-  PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_eval.py
+  PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_eval.py [run_dir]
 """
+
+import sys
 
 import numpy as np
 
@@ -59,7 +61,8 @@ def main():
         img_h=mcfg.image_height, img_w=mcfg.image_width,
     )
 
-    saved_cfg, trained = load_run_params("/tmp/scl_quality_run")
+    run_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scl_quality_run"
+    saved_cfg, trained = load_run_params(run_dir)
     fresh = init_params(mcfg, jax.random.key(0))
     model = create_model(mcfg)
     embed = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])

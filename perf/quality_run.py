@@ -11,13 +11,20 @@ improving from the untrained baseline. Results land in docs/QUALITY.md;
 any round-4 regression is diffable against it.
 
 Run alone on the chip:
-  PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_run.py
+  PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_run.py \
+      [cfg_seed] [run_dir]
+
+``cfg_seed`` (default 0) seeds weight init + the sampler stream; the city
+GEOMETRY stays seed=3 so recall numbers are comparable across cfg seeds —
+a second cfg_seed measures the run-to-run noise the QUALITY.md regression
+margins rest on (round-4 VERDICT #5).
 """
 
 import dataclasses
 import json
 import os
 import shutil
+import sys
 import time
 
 import numpy as np
@@ -33,12 +40,14 @@ def main():
     from soft_contrastive_learning_tpu.data.pipeline import ToyCitySource
     from soft_contrastive_learning_tpu.train.trainer import Trainer
 
-    print("backend", jax.default_backend(), flush=True)
+    cfg_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    run_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scl_quality_run"
+    print("backend", jax.default_backend(), "cfg_seed", cfg_seed, flush=True)
     num_points = 600
     cfg = flagship_toy_config(tuples_per_batch=2, num_points=num_points)
     cfg = dataclasses.replace(
         cfg, max_epoch=3, eval_step=100, mining_step=100,
-        num_eval_queries=20,
+        num_eval_queries=20, seed=cfg_seed,
     )
 
     radius = num_points * 8.0 / (2 * np.pi)
@@ -58,7 +67,6 @@ def main():
     )
     src = CachedDecodedSource(src, cache_dir)
 
-    run_dir = "/tmp/scl_quality_run"
     shutil.rmtree(run_dir, ignore_errors=True)
     tr = Trainer(cfg, src, out_dir=run_dir)
     t0 = time.time()
