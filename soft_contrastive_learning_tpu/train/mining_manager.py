@@ -59,6 +59,7 @@ class MiningManager:
         self._error = None
         self._cancel = None  # cooperative-abort event for the worker
         self._params_copy = None  # jitted params snapshot (donation-safe)
+        self.refresh_count = 0  # completed (non-cancelled) window swaps
 
     # ------------------------------------------------------------ refresh
     def refresh(
@@ -171,6 +172,7 @@ class MiningManager:
         if cancel is not None and cancel.is_set():
             raise MiningCancelled()  # keep the previous window
         self.cache.refresh(feats, mine_idx, order=order)
+        self.refresh_count += 1
 
     # ------------------------------------------------------------- async
     def spawn(

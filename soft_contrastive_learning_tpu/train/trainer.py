@@ -47,7 +47,7 @@ from soft_contrastive_learning_tpu.data.pipeline import (
 from soft_contrastive_learning_tpu.losses.registry import build_loss
 from soft_contrastive_learning_tpu.models.model import create_model, init_params
 from soft_contrastive_learning_tpu.parallel.mesh import (
-    pad_to_multiple, shard_batch,
+    pad_to_multiple, replicated_sharding, shard_batch,
 )
 from soft_contrastive_learning_tpu.pca.async_updater import AsyncPCAUpdater
 from soft_contrastive_learning_tpu.pca.incremental import StreamingPCA
@@ -691,6 +691,16 @@ class Trainer:
                 last_err = e
         else:
             raise last_err
+        if self.mesh is not None:
+            # Orbax restores arrays COMMITTED to the default device; fresh
+            # init leaves them uncommitted, which is why sharded training
+            # works from scratch but crashed on resume (mixed device sets
+            # in the first post-resume embed/step dispatch). Re-place the
+            # whole train state replicated over the mesh, as the jitted
+            # step would have laid it out.
+            self.state = jax.device_put(
+                self.state, replicated_sharding(self.mesh)
+            )
         if extras is not None:
             self.rng = numpy_rng_from_array(extras["sampler_rng"])
             self.eval_rng = numpy_rng_from_array(extras["eval_rng"])
