@@ -12,12 +12,15 @@ any round-4 regression is diffable against it.
 
 Run alone on the chip:
   PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_run.py \
-      [cfg_seed] [run_dir]
+      [cfg_seed] [run_dir] [tuples_per_batch] [max_epoch]
 
 ``cfg_seed`` (default 0) seeds weight init + the sampler stream; the city
 GEOMETRY stays seed=3 so recall numbers are comparable across cfg seeds —
 a second cfg_seed measures the run-to-run noise the QUALITY.md regression
-margins rest on (round-4 VERDICT #5).
+margins rest on (round-4 VERDICT #5). ``tuples_per_batch`` (default 2 =
+the reference's B=50 geometry, train/train.py:1241-1280) scales the batch
+for the larger-batch quality spot-check (round-4 VERDICT #4);
+``max_epoch`` (default 3) shortens spot-check runs.
 """
 
 import dataclasses
@@ -42,11 +45,14 @@ def main():
 
     cfg_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     run_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scl_quality_run"
-    print("backend", jax.default_backend(), "cfg_seed", cfg_seed, flush=True)
+    tpb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    max_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    print(f"backend {jax.default_backend()} cfg_seed {cfg_seed} "
+          f"tuples_per_batch {tpb} max_epoch {max_epoch}", flush=True)
     num_points = 600
-    cfg = flagship_toy_config(tuples_per_batch=2, num_points=num_points)
+    cfg = flagship_toy_config(tuples_per_batch=tpb, num_points=num_points)
     cfg = dataclasses.replace(
-        cfg, max_epoch=3, eval_step=100, mining_step=100,
+        cfg, max_epoch=max_epoch, eval_step=100, mining_step=100,
         num_eval_queries=20, seed=cfg_seed,
     )
 

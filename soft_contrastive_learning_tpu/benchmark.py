@@ -62,6 +62,25 @@ _TRANSIENT_MARKERS = (
 )
 
 
+def _die_with_parent() -> None:
+    """preexec_fn: kill the child if the parent dies. Without this, a
+    driver-killed bench.py leaves its measuring child ALIVE and holding the
+    chip, and the next bench run contends with the orphan (concurrent chip
+    jobs balloon remote-compile latency from ~30 s to minutes — measured
+    round 4: a leaked child turned a ~5 min sweep into 17 min with one
+    spurious per-config timeout)."""
+    import ctypes
+    import signal
+
+    PR_SET_PDEATHSIG = 1
+    try:
+        ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+            PR_SET_PDEATHSIG, signal.SIGKILL, 0, 0, 0
+        )
+    except OSError:  # non-Linux: best effort, keep the child usable
+        pass
+
+
 def _timed_scan(embed_fn, params, cfg, batch_size, iters, compiler_options=None):
     """Best-of-2 timing of ``iters`` chained forwards inside ONE jit call.
     ``embed_fn(params, images) -> (B, D)`` descriptors."""
@@ -230,6 +249,7 @@ def _run_config_child(precision: str, batch_size: int, iters: int,
             capture_output=True,
             text=True,
             timeout=timeout_s,
+            preexec_fn=_die_with_parent,
         )
     except subprocess.TimeoutExpired:
         raise TimeoutError(
@@ -271,6 +291,7 @@ def _backend_probe_child(timeout_s: float = 240.0) -> str:
             text=True,
             timeout=timeout_s,
             cwd=_REPO_DIR,
+            preexec_fn=_die_with_parent,
         )
     except subprocess.TimeoutExpired:
         raise SystemExit(
