@@ -135,9 +135,15 @@ def load_trained_params(cfg: ModelConfig, path: Optional[str] = None):
                 f"{arr.shape} vs {leaf.shape}"
             )
         rebuilt.append(arr)
-    return jax.tree_util.tree_unflatten(
+    tree = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), rebuilt
     )
+    # Commit the params to the device ONCE. jit re-transfers uncommitted
+    # host numpy arguments on EVERY call; through the ~40 MB/s relay that
+    # re-upload cost the int8 headline ~30% (measured: seed-0 device-array
+    # params 9,998 img/s vs host-numpy trained params 7,127 img/s, same
+    # code — /tmp/probe_provenance.py, round 4).
+    return jax.device_put(tree)
 
 
 def flagship_params(cfg: ModelConfig) -> Tuple[object, str]:

@@ -51,6 +51,25 @@ def test_trained_params_roundtrip(tmp_path):
         )
 
 
+def test_load_trained_params_commits_to_device(tmp_path):
+    """Loaded params must be device-committed jax Arrays, not host numpy.
+    jit re-uploads uncommitted host-numpy arguments on EVERY call; through
+    the ~40 MB/s relay that re-transfer cost the int8 headline ~30%
+    (measured round 4: 7,127 img/s host-numpy vs 10,005 device-resident)."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = flagship.flagship_model_config()
+    params = init_params(cfg, jax.random.key(7))
+    path = str(tmp_path / "trained.npz")
+    flagship.save_trained_params(params, path)
+    loaded = flagship.load_trained_params(cfg, path)
+    for leaf in jax.tree_util.tree_leaves(loaded):
+        assert isinstance(leaf, jax.Array), type(leaf)
+        assert leaf.committed or len(leaf.devices()) > 0
+
+
 def test_load_trained_params_absent_returns_none(tmp_path):
     cfg = flagship.flagship_model_config()
     assert flagship.load_trained_params(cfg, str(tmp_path / "nope.npz")) is None
