@@ -46,12 +46,22 @@ BASELINE_IMG_PER_SEC = 10_000.0
 _CHILD_ENV = "SCL_BENCH_CHILD_CONFIG"
 _REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache shared by all bench children (and warmed by
+# any prior run, including the committed perf/ warm-up logs). The axon relay
+# wires JAX's persistent cache to fingerprint-keyed sidechannels but only
+# when a cache dir is configured — without it EVERY child pays a cold remote
+# compile (~40-90 s each; Pallas kernels 70-147 s), which is where round-3's
+# ~14 min bench wall time went. A user-set JAX_COMPILATION_CACHE_DIR wins.
+_COMPILE_CACHE_DIR = os.path.join(_REPO_DIR, "perf", "jax_cache")
+
 # (precision, batch_size, iters, child timeout seconds). int8 first: it is
-# the headline; bf16 is a short confirmation. Timeouts cover a cold remote
-# compile (~40 s) + calibration + best-of-2 timed scans with >3x margin.
+# the headline; bf16 is a short confirmation. Timeouts cover a COLD-cache
+# child (remote compiles + cache serialize/write + calibration + best-of-2
+# timed scans — measured round 4: one cold int8 child exceeded 480 s and
+# burned its retry; warm-cache children finish in ~2-3 min).
 _TPU_CONFIGS = (
-    ("int8-ptq", None, 120, 480.0),  # batch = flagship.SERVING_BATCH
-    ("bf16", None, 30, 300.0),  # batch = flagship.BF16_CONFIRM_BATCH
+    ("int8-ptq", None, 120, 660.0),  # batch = flagship.SERVING_BATCH
+    ("bf16", None, 30, 420.0),  # batch = flagship.BF16_CONFIRM_BATCH
 )
 _TRANSIENT_MARKERS = (
     "UNAVAILABLE",
@@ -236,6 +246,7 @@ def _run_config_child(precision: str, batch_size: int, iters: int,
     env[_CHILD_ENV] = json.dumps(
         {"precision": precision, "batch_size": batch_size, "iters": iters}
     )
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", _COMPILE_CACHE_DIR)
     code = (
         "import sys; sys.path.insert(0, {repo!r}); "
         "from soft_contrastive_learning_tpu.benchmark import _child_main; "
