@@ -160,6 +160,8 @@ def run(
     float(jnp.asarray(tr.state.step, jnp.float32))
     warm_steps = int(np.asarray(tr.state.step))
     tr.timer = StepTimer()
+    warm_fetches = tr.metrics_logger.fetch_count
+    warm_fetch_s = tr.metrics_logger.fetch_seconds
 
     # ---- sustained loop: one full epoch through the real trainer ----
     t0 = time.perf_counter()
@@ -225,6 +227,13 @@ def run(
             "spans": {
                 k: round(v["total_s"], 2) for k, v in spans.items()
             },
+            # mid-stream scalar-logger D2H fetches during the timed epoch
+            # (AsyncScalarLogger stats — each fetch serializes with the
+            # dispatch RPC stream on the relay)
+            "scalar_fetches": tr.metrics_logger.fetch_count - warm_fetches,
+            "scalar_fetch_s": round(
+                tr.metrics_logger.fetch_seconds - warm_fetch_s, 2
+            ),
         },
     }
     tr.close()

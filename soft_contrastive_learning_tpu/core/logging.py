@@ -102,10 +102,19 @@ class AsyncScalarLogger:
         serializes with dispatch RPCs and costs ~26 ms of loop time per
         step when fetched eagerly; throttling to one fetch per interval
         amortizes that to noise while values still arrive within the
-        interval. drain() ignores the throttle."""
+        interval. drain() ignores the throttle.
+
+        Env override ``SCL_SCALAR_FETCH_INTERVAL`` (seconds): measurement
+        knob — a huge value defers every fetch to drain(), isolating the
+        logger's mid-stream fetch cost in throughput A/Bs (bench_train)."""
         self._write = write_fn
         self._max_chunk = max_chunk
+        env = os.environ.get("SCL_SCALAR_FETCH_INTERVAL")
+        if env:
+            min_fetch_interval = float(env)
         self._min_interval = min_fetch_interval
+        self.fetch_count = 0
+        self.fetch_seconds = 0.0
         self._last_fetch = 0.0
         self._draining = threading.Event()
         self._q: "queue.Queue" = queue.Queue()
@@ -159,12 +168,15 @@ class AsyncScalarLogger:
                     done = True
                     break
                 items.append(nxt)
+            t0 = time.monotonic()
             try:
                 self._fetch_chunk(items)
             except BaseException as e:
                 self._err = e
             finally:
                 self._last_fetch = time.monotonic()
+                self.fetch_count += 1
+                self.fetch_seconds += self._last_fetch - t0
                 with self._cv:
                     self._pending -= len(items)
                     self._cv.notify_all()

@@ -87,11 +87,15 @@ def run_segment(
     def process_single(item):
         batch, used = item
         maybe_profile_start()
-        with t.timer.span("train_step"):
+        # dispatch_put (H2D of the host batch) vs train_step (the async
+        # executable launch) are split so a relay-side transfer stall is
+        # attributable — both are host-blocking time only, never device time.
+        with t.timer.span("dispatch_put"):
             snaps = updater.feed_states() if updater is not None else None
             device_batch = shard_batch(
                 t._augment_batch(batch, snaps), t.mesh
             )
+        with t.timer.span("train_step"):
             if pool_rows is not None:
                 t.state, metrics = t.train_step_pooled(
                     t.state, device_batch, t._image_pool.array
@@ -106,7 +110,8 @@ def run_segment(
         # full relay RTT) in the hot loop; resume re-seeds it from
         # the restored state.step (resume_latest).
         t.global_step += 1
-        submit_scalars(metrics)
+        with t.timer.span("submit"):
+            submit_scalars(metrics)
         with t.timer.span("pca_update"):
             has_in = ("pca_in" in metrics) or ("loss_pca_in" in metrics)
             if updater is not None and has_in:
@@ -135,8 +140,9 @@ def run_segment(
                 k: np.stack([b[k] for b, _ in items])
                 for k in items[0][0]
             }
-        with t.timer.span("train_step"):
+        with t.timer.span("dispatch_put"):
             device_batch = shard_batch_stacked(stacked, t.mesh)
+        with t.timer.span("train_step"):
             if pool_rows is not None:
                 t.state, ms = t.train_step_scan_pooled(
                     t.state, device_batch, t._image_pool.array
@@ -147,9 +153,10 @@ def run_segment(
                 )
         for _, used in items:
             t.used_images.update(used)
-        for i in range(len(items)):
-            t.global_step += 1
-            submit_scalars(ms, i)
+        with t.timer.span("submit"):
+            for i in range(len(items)):
+                t.global_step += 1
+                submit_scalars(ms, i)
         maybe_profile_stop()
 
     def boundary(j: int) -> bool:
