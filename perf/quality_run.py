@@ -47,13 +47,19 @@ def main():
     run_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scl_quality_run"
     tpb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     max_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # Linear LR scaling for the larger-batch spot-check (Goyal et al.:
+    # LR ~ batch keeps the per-epoch optimization trajectory comparable
+    # when the step count halves at tpb=4). Default 1.0 = reference LR.
+    lr_scale = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
     print(f"backend {jax.default_backend()} cfg_seed {cfg_seed} "
-          f"tuples_per_batch {tpb} max_epoch {max_epoch}", flush=True)
+          f"tuples_per_batch {tpb} max_epoch {max_epoch} "
+          f"lr_scale {lr_scale}", flush=True)
     num_points = 600
     cfg = flagship_toy_config(tuples_per_batch=tpb, num_points=num_points)
     cfg = dataclasses.replace(
         cfg, max_epoch=max_epoch, eval_step=100, mining_step=100,
         num_eval_queries=20, seed=cfg_seed,
+        base_lr=cfg.base_lr * lr_scale,
     )
 
     radius = num_points * 8.0 / (2 * np.pi)

@@ -75,3 +75,8 @@ def test_bench_train_smoke(tmp_path, async_mining):
         # second async
         assert "mining_refresh_async" in spans
     assert "mining_refresh" in spans
+    # round-4 relay-attribution fields: dispatch H2D split from the async
+    # launch, and the scalar logger's mid-epoch D2H fetch stats
+    assert "dispatch_put" in spans and "train_step" in spans
+    assert d["scalar_fetches"] >= 0
+    assert d["scalar_fetch_s"] >= 0.0

@@ -143,6 +143,24 @@ def test_async_scalar_logger_surfaces_errors():
     log.close(drain=False)
 
 
+def test_async_scalar_logger_fetch_stats_and_env_interval(monkeypatch):
+    """fetch_count/fetch_seconds track worker-thread fetch activity, and
+    SCL_SCALAR_FETCH_INTERVAL overrides the throttle (the bench's
+    defer-to-drain measurement knob)."""
+    monkeypatch.setenv("SCL_SCALAR_FETCH_INTERVAL", "3600")
+    written = []
+    log = AsyncScalarLogger(lambda step, vals: written.append((step, vals)))
+    assert log._min_interval == 3600.0
+    assert log.fetch_count == 0 and log.fetch_seconds == 0.0
+    for i in range(6):
+        log.submit(i, {"loss": np.float32(i)})
+    log.drain()  # drain bypasses the throttle
+    log.close()
+    assert [s for s, _ in written] == list(range(6))
+    assert log.fetch_count >= 1
+    assert log.fetch_seconds >= 0.0
+
+
 def test_async_scalar_logger_device_scalars():
     import jax.numpy as jnp
 
