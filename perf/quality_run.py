@@ -12,7 +12,7 @@ any round-4 regression is diffable against it.
 
 Run alone on the chip:
   PYTHONPATH=/root/repo:/root/.axon_site python perf/quality_run.py \
-      [cfg_seed] [run_dir] [tuples_per_batch] [max_epoch]
+      [cfg_seed] [run_dir] [tuples_per_batch] [max_epoch] [lr_scale]
 
 ``cfg_seed`` (default 0) seeds weight init + the sampler stream; the city
 GEOMETRY stays seed=3 so recall numbers are comparable across cfg seeds —
@@ -20,7 +20,9 @@ a second cfg_seed measures the run-to-run noise the QUALITY.md regression
 margins rest on (round-4 VERDICT #5). ``tuples_per_batch`` (default 2 =
 the reference's B=50 geometry, train/train.py:1241-1280) scales the batch
 for the larger-batch quality spot-check (round-4 VERDICT #4);
-``max_epoch`` (default 3) shortens spot-check runs.
+``max_epoch`` (default 3) shortens spot-check runs; ``lr_scale`` (default
+1.0) scales the base LR linearly with the batch — required at tpb=4 to
+match B=50 recall (docs/TRAINBENCH.md spot-check: 77.5 vs 58.0 %<10m).
 """
 
 import dataclasses

@@ -32,10 +32,6 @@ def main():
         fixed_split_recall,
     )
     from soft_contrastive_learning_tpu.models.model import create_model
-    from soft_contrastive_learning_tpu.models.quant import (
-        calibrate_scales,
-        quantized_embed,
-    )
 
     print("backend", jax.default_backend(), flush=True)
     cfg = flagship.flagship_model_config(use_pallas=False)
@@ -43,24 +39,15 @@ def main():
     print("params provenance:", provenance, flush=True)
     assert provenance == "trained", "run scripts/export_flagship_params.py first"
 
-    calib = jnp.asarray(flagship.calibration_images(cfg))
-    scales = calibrate_scales(params, calib)
-    model = create_model(cfg)
-    q_embed = jax.jit(lambda p, x: quantized_embed(cfg, p, scales, x)[0])
-    f_embed = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
-
-    def cos(a, b):
-        a = np.asarray(a, np.float64)
-        b = np.asarray(b, np.float64)
-        return float(np.mean(
-            np.sum(a * b, -1)
-            / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
-        ))
-
-    # 1. the benchmark gate, verbatim
-    c_calib = cos(q_embed(params, calib), f_embed(params, calib))
+    # 1. the benchmark gate — the SAME call benchmark.measure_config makes
+    # (flagship.int8_gate: calibrate, embed both paths, gate the cosine)
+    q_fn, _scales, c_calib = flagship.int8_gate(cfg, params)
     print(f"cosine on calibration batch (benchmark gate): {c_calib:.6f}",
           flush=True)
+    model = create_model(cfg)
+    q_embed = jax.jit(q_fn)
+    f_embed = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+    cos = flagship.descriptor_cosine
 
     # 2+3. real images: held-out test city at flagship resolution
     num_points = 600

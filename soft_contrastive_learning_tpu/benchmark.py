@@ -129,8 +129,6 @@ def measure_config(precision: str, batch_size: int, iters: int) -> dict:
     (including a failed int8 quality gate — a broken quant path must never
     count)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from soft_contrastive_learning_tpu import flagship
 
@@ -145,49 +143,18 @@ def measure_config(precision: str, batch_size: int, iters: int) -> dict:
     }
 
     if precision == "int8-ptq":
-        from soft_contrastive_learning_tpu.models.model import create_model
-        from soft_contrastive_learning_tpu.models.quant import (
-            calibrate_scales,
-            quantized_embed,
-        )
-
-        calib = jnp.asarray(flagship.calibration_images(cfg))
-        scales = calibrate_scales(params, calib)
-        q = np.asarray(
-            jax.jit(lambda p, im: quantized_embed(cfg, p, scales, im)[0])(
-                params, calib
-            ),
-            np.float64,
-        )
-        model = create_model(cfg)
-        ref = np.asarray(
-            jax.jit(lambda p, im: model.apply({"params": p}, im)[0])(
-                params, calib
-            ),
-            np.float64,
-        )
-        cos = float(
-            np.mean(
-                np.sum(q * ref, -1)
-                / (
-                    np.linalg.norm(q, axis=-1) * np.linalg.norm(ref, axis=-1)
-                    + 1e-12
-                )
-            )
-        )
+        # Calibration + the descriptor-parity gate are flagship.int8_gate —
+        # the ONE shipped definition (raises on a failed gate; a NaN cosine
+        # fails rather than certifying).
+        q_embed, _scales, cos = flagship.int8_gate(cfg, params)
         record["cosine"] = round(cos, 6)
-        if cos <= 0.999:
-            raise RuntimeError(
-                f"int8 quality gate failed (cosine {cos:.6f} on "
-                f"{provenance} params)"
-            )
         compiler_options = (
             dict(flagship.SERVING_COMPILER_OPTIONS)
             if on_tpu and batch_size <= 2048
             else None
         )
         record["rate"] = _timed_scan(
-            lambda p, x: quantized_embed(cfg, p, scales, x)[0],
+            q_embed,
             params,
             cfg,
             batch_size,
@@ -238,15 +205,19 @@ def _child_main() -> None:
 
 
 def _run_config_child(precision: str, batch_size: int, iters: int,
-                      timeout_s: float) -> dict:
+                      timeout_s: float, compile_cache: bool = False) -> dict:
     """Run one config in a fresh child process (own backend connection, own
     JAX client) under a hard timeout. Returns the result record; raises
-    RuntimeError with the child's tail on failure, TimeoutError on a hang."""
+    RuntimeError with the child's tail on failure, TimeoutError on a hang.
+    ``compile_cache`` points the child at the committed perf/jax_cache dir —
+    TPU-only (main passes on_tpu): CPU children would litter the repo tree
+    with per-machine, per-jax-version cache blobs that help no other host."""
     env = dict(os.environ)
     env[_CHILD_ENV] = json.dumps(
         {"precision": precision, "batch_size": batch_size, "iters": iters}
     )
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", _COMPILE_CACHE_DIR)
+    if compile_cache:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", _COMPILE_CACHE_DIR)
     code = (
         "import sys; sys.path.insert(0, {repo!r}); "
         "from soft_contrastive_learning_tpu.benchmark import _child_main; "
@@ -343,7 +314,8 @@ def main() -> None:
         while True:
             attempts += 1
             try:
-                rec = _run_config_child(precision, bs, iters, timeout_s)
+                rec = _run_config_child(precision, bs, iters, timeout_s,
+                                        compile_cache=on_tpu)
                 rec["attempts"] = attempts
                 results.append(rec)
                 break

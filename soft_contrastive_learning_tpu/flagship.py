@@ -73,16 +73,22 @@ def calibration_images(cfg: ModelConfig, n: int = 8) -> np.ndarray:
     )
 
 
-def _flatten_params(tree) -> Dict[str, np.ndarray]:
+def _param_items(tree):
+    """[(slash-joined key path, leaf)] for a params pytree. Leaves are
+    returned as-is, so this works on ShapeDtypeStruct trees too."""
     import jax
 
-    flat = {}
+    items = []
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(
             p.key if hasattr(p, "key") else str(p.idx) for p in path
         )
-        flat[key] = np.asarray(leaf)
-    return flat
+        items.append((key, leaf))
+    return items
+
+
+def _flatten_params(tree) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v) for k, v in _param_items(tree)}
 
 
 def save_trained_params(params, path: Optional[str] = None) -> None:
@@ -90,11 +96,24 @@ def save_trained_params(params, path: Optional[str] = None) -> None:
 
     float16 storage halves the artifact; the int8 quality gate compares the
     quantized path against the FLOAT path on the same loaded params, so the
-    rounding cancels out of the parity question.
+    rounding cancels out of the parity question. Export fails loudly when a
+    leaf is non-finite or overflows float16 (|v| > 65504 casts to inf) —
+    load_trained_params' key/shape checks would pass a corrupt artifact, the
+    descriptor cosine would go NaN, and the gate must never see that.
     """
     path = path or TRAINED_PARAMS_PATH
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    flat = {k: v.astype(np.float16) for k, v in _flatten_params(params).items()}
+    flat = {}
+    for k, v in _flatten_params(params).items():
+        if not np.isfinite(v).all():
+            raise ValueError(f"non-finite values in param {k!r}; not exporting")
+        f16 = v.astype(np.float16)
+        if not np.isfinite(f16).all():
+            raise ValueError(
+                f"param {k!r} overflows float16 storage "
+                f"(max |v| = {np.abs(v).max():.4g} > 65504); not exporting"
+            )
+        flat[k] = f16
     np.savez_compressed(path, **flat)
 
 
@@ -111,23 +130,23 @@ def load_trained_params(cfg: ModelConfig, path: Optional[str] = None):
 
     from soft_contrastive_learning_tpu.models.model import init_params
 
-    template = init_params(cfg, jax.random.key(0))
+    # Shape/structure template only — eval_shape gives the same tree of
+    # shapes as a real init with ZERO device compute (a full VGG16+NetVLAD
+    # init per benchmark child paid relay-side compile+execute just to read
+    # .shape off the leaves).
+    template = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0)))
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
-    expect = _flatten_params(template)
-    if set(stored) != set(expect):
+    expect = {k for k, _ in _param_items(template)}
+    if set(stored) != expect:
         raise ValueError(
             f"{path} keys do not match the flagship architecture "
-            f"(missing {sorted(set(expect) - set(stored))[:3]}..., "
-            f"extra {sorted(set(stored) - set(expect))[:3]}...)"
+            f"(missing {sorted(expect - set(stored))[:3]}..., "
+            f"extra {sorted(set(stored) - expect)[:3]}...)"
         )
     dtype = np.dtype(cfg.param_dtype)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     rebuilt = []
-    for path_keys, leaf in leaves:
-        key = "/".join(
-            p.key if hasattr(p, "key") else str(p.idx) for p in path_keys
-        )
+    for key, leaf in _param_items(template):
         arr = stored[key].astype(dtype)
         if arr.shape != leaf.shape:
             raise ValueError(
@@ -138,12 +157,14 @@ def load_trained_params(cfg: ModelConfig, path: Optional[str] = None):
     tree = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), rebuilt
     )
-    # Commit the params to the device ONCE. jit re-transfers uncommitted
-    # host numpy arguments on EVERY call; through the ~40 MB/s relay that
-    # re-upload cost the int8 headline ~30% (measured: seed-0 device-array
-    # params 9,998 img/s vs host-numpy trained params 7,127 img/s, same
-    # code — /tmp/probe_provenance.py, round 4).
-    return jax.device_put(tree)
+    # Commit the params to the device ONCE. jit re-transfers host numpy
+    # arguments on EVERY call; through the ~40 MB/s relay that re-upload
+    # cost the int8 headline ~30% (measured: seed-0 device-array params
+    # 9,998 img/s vs host-numpy trained params 7,127 img/s, same code —
+    # /tmp/probe_provenance.py, round 4). The device argument matters:
+    # device_put without one returns UNCOMMITTED arrays, which happened to
+    # work but left the docstring's promise unheld (round-4 review).
+    return jax.device_put(tree, jax.devices()[0])
 
 
 def flagship_params(cfg: ModelConfig) -> Tuple[object, str]:
@@ -158,6 +179,79 @@ def flagship_params(cfg: ModelConfig) -> Tuple[object, str]:
     from soft_contrastive_learning_tpu.models.model import init_params
 
     return init_params(cfg, jax.random.key(0)), "seed0"
+
+
+# The int8 path ships only if its descriptors match the float path to this
+# mean cosine on the calibration batch (PARITY.md "quantized serving").
+INT8_COSINE_THRESHOLD = 0.999
+
+
+def int8_serving(cfg: ModelConfig, params, calib=None):
+    """Calibrated int8-PTQ forward: ``(q_embed_fn, scales)``.
+
+    The ONE construction of the shipped quantized path — benchmark.py,
+    ``__graft_entry__.entry()`` (via :func:`serving_forward`), and
+    perf/quant_trained_gate.py all build from here, so calibration inputs
+    and the embed composition cannot drift between them.
+    """
+    import jax.numpy as jnp
+
+    from soft_contrastive_learning_tpu.models.quant import (
+        calibrate_scales,
+        quantized_embed,
+    )
+
+    if calib is None:
+        calib = jnp.asarray(calibration_images(cfg))
+    scales = calibrate_scales(params, calib)
+
+    def q_embed(p, images):
+        return quantized_embed(cfg, p, scales, images)[0]
+
+    return q_embed, scales
+
+
+def descriptor_cosine(a, b) -> float:
+    """Mean per-row cosine between two (B, D) descriptor arrays."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(
+        np.mean(
+            np.sum(a * b, -1)
+            / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+        )
+    )
+
+
+def int8_gate(cfg: ModelConfig, params, calib=None):
+    """Certify the quantized path against the float path on the SAME params.
+
+    Returns ``(q_embed_fn, scales, cosine)``; raises RuntimeError when the
+    mean descriptor cosine on the calibration batch is not above
+    :data:`INT8_COSINE_THRESHOLD`. The comparison is ``not (cos > t)`` so a
+    NaN cosine (non-finite descriptors from a corrupt artifact or a quant
+    regression) FAILS the gate instead of certifying by comparing False.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from soft_contrastive_learning_tpu.models.model import create_model
+
+    if calib is None:
+        calib = jnp.asarray(calibration_images(cfg))
+    q_embed, scales = int8_serving(cfg, params, calib)
+    q = jax.jit(q_embed)(params, calib)
+    model = create_model(cfg)
+    ref = jax.jit(lambda p, im: model.apply({"params": p}, im)[0])(
+        params, calib
+    )
+    cos = descriptor_cosine(q, ref)
+    if not (cos > INT8_COSINE_THRESHOLD):
+        raise RuntimeError(
+            f"int8 quality gate failed (cosine {cos:.6f}, "
+            f"threshold {INT8_COSINE_THRESHOLD})"
+        )
+    return q_embed, scales, cos
 
 
 def serving_forward(on_tpu: bool, params=None):
@@ -175,20 +269,8 @@ def serving_forward(on_tpu: bool, params=None):
         params, provenance = flagship_params(cfg)
     detail = {"params": provenance or "caller-supplied"}
     if on_tpu:
-        import jax.numpy as jnp
-
-        from soft_contrastive_learning_tpu.models.quant import (
-            calibrate_scales,
-            quantized_embed,
-        )
-
-        calib = jnp.asarray(calibration_images(cfg))
-        scales = calibrate_scales(params, calib)
+        embed_fn, _scales = int8_serving(cfg, params)
         detail["precision"] = "int8-ptq"
-
-        def embed_fn(p, images):
-            return quantized_embed(cfg, p, scales, images)[0]
-
         return embed_fn, params, detail
 
     from soft_contrastive_learning_tpu.models.model import create_model

@@ -67,7 +67,54 @@ def test_load_trained_params_commits_to_device(tmp_path):
     loaded = flagship.load_trained_params(cfg, path)
     for leaf in jax.tree_util.tree_leaves(loaded):
         assert isinstance(leaf, jax.Array), type(leaf)
-        assert leaf.committed or len(leaf.devices()) > 0
+        assert leaf.committed
+
+
+def test_save_trained_params_rejects_nonfinite(tmp_path):
+    """A corrupt params tree (NaN/Inf leaf, or a value that overflows the
+    float16 storage) must fail at EXPORT — load's key/shape checks would
+    pass it and the descriptor cosine would go NaN downstream."""
+    import jax
+
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    cfg = flagship.flagship_model_config()
+    params = init_params(cfg, jax.random.key(0))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    bad = [np.asarray(l, np.float32).copy() for l in leaves]
+    bad[0].flat[0] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        flagship.save_trained_params(
+            jax.tree_util.tree_unflatten(treedef, bad),
+            str(tmp_path / "x.npz"),
+        )
+    bad[0].flat[0] = 70000.0  # finite in float32, inf after float16 cast
+    with pytest.raises(ValueError, match="overflows float16"):
+        flagship.save_trained_params(
+            jax.tree_util.tree_unflatten(treedef, bad),
+            str(tmp_path / "y.npz"),
+        )
+
+
+def test_int8_gate_fails_on_nan_cosine(monkeypatch):
+    """NaN descriptors must FAIL the quality gate, not certify: the gate is
+    `not (cos > threshold)` precisely because `nan <= threshold` is False."""
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    import jax
+
+    cfg = ModelConfig(
+        vlad_cores=8, reduction="none", image_height=32, image_width=32,
+        compute_dtype="float32", use_pallas=False,
+    )
+    params = init_params(cfg, jax.random.key(0))
+    calib = flagship.calibration_images(cfg, n=2)
+    monkeypatch.setattr(
+        flagship, "descriptor_cosine", lambda a, b: float("nan")
+    )
+    with pytest.raises(RuntimeError, match="quality gate failed"):
+        flagship.int8_gate(cfg, params, calib)
 
 
 def test_load_trained_params_absent_returns_none(tmp_path):
