@@ -98,6 +98,33 @@ def main():
     print(f"top-1 agreement int8 vs float: {top1:.4f}", flush=True)
     print(f"top-5 overlap int8 vs float:   {top5:.4f}", flush=True)
 
+    # 4. characterize the disagreements geographically (round-5 ask): for
+    # each query whose int8 and float top-1 DIFFER, how far apart are the
+    # two retrieved points, and how much does the retrieval's geo error
+    # change? On this 8 m-spaced loop a benign swap is ~8 m of separation
+    # with ~0 error delta; a large delta would mean int8 changes WHICH
+    # PLACE is retrieved, not just which frame of it — that distribution
+    # is what makes the gate transferable to denser reference sets
+    # (reference spacings go down to L=0.3 m, reference top-n.py:35-36).
+    dis = np.nonzero(tq[:, 0] != tf[:, 0])[0]
+    if len(dis):
+        q_xy, r_xy = xy[q_idx], xy[r_idx]
+        g_int8 = np.linalg.norm(r_xy[tq[dis, 0]] - q_xy[dis], axis=1)
+        g_float = np.linalg.norm(r_xy[tf[dis, 0]] - q_xy[dis], axis=1)
+        err_delta = g_int8 - g_float  # >0: int8 retrieval is farther
+        sep = np.linalg.norm(r_xy[tq[dis, 0]] - r_xy[tf[dis, 0]], axis=1)
+        print(
+            f"top-1 disagreements: {len(dis)}/{len(q_idx)} queries; "
+            f"retrieved-pair separation m: median {np.median(sep):.2f} "
+            f"mean {sep.mean():.2f} max {sep.max():.2f}; "
+            f"geo-error delta m (int8 - float): median "
+            f"{np.median(err_delta):.2f} mean {err_delta.mean():.2f} "
+            f"worst {err_delta.max():.2f}",
+            flush=True,
+        )
+    else:
+        print("top-1 disagreements: 0", flush=True)
+
     for name, feats in (("float", ff), ("int8", fq)):
         rec = fixed_split_recall(feats, xy)
         print(f"recall {name:5s}: %<10m {rec['%<10m']:5.1f} "

@@ -86,8 +86,14 @@ class RunCheckpoints:
                     active_processes={jax.process_index()},
                     barrier_sync_key_prefix=f"scl_p{jax.process_index()}",
                 )
+            # Registering the handler lets a manager that never saved
+            # in-process read item_metadata() (used by load_run_params'
+            # typed restore) without orbax warning about a missing
+            # CheckpointHandlerRegistry.
             self._mgrs[role] = ocp.CheckpointManager(
-                root, options=ocp.CheckpointManagerOptions(**opts)
+                root,
+                options=ocp.CheckpointManagerOptions(**opts),
+                item_handlers=ocp.StandardCheckpointHandler(),
             )
         return self._mgrs[role]
 
@@ -227,6 +233,46 @@ def load_run_params(run_dir: str, role: Optional[str] = None):
     if best is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir}/checkpoints")
     _, step, r = best
-    restored = ckpts._mgr(r).restore(int(step))  # raw as-saved pytree
+    mgr = ckpts._mgr(r)
+    # Restore against a typed target tree, never the raw as-saved pytree:
+    # an untyped StandardRestore is exactly the "generally UNSAFE" orbax
+    # warns about (round-4 verdict) — the saved metadata gives the full
+    # payload's shapes/dtypes, and the params subtree is then validated
+    # against the run's OWN architecture so a stale checkpoint (config.json
+    # edited, or code drift changing the param tree) fails loudly here
+    # instead of producing shape errors deep inside a later jit.
+    template = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+        mgr.item_metadata(int(step)).tree,
+    )
+    from soft_contrastive_learning_tpu.models.model import init_params
+
+    expect = jax.eval_shape(
+        lambda: init_params(cfg.model, jax.random.key(0))
+    )
+    def _shape_dtype_by_key(tree):
+        return {
+            "/".join(
+                p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
+                for p in path
+            ): (tuple(leaf.shape), np.dtype(leaf.dtype))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    expect_sd = _shape_dtype_by_key(expect)
+    saved_sd = _shape_dtype_by_key(template["params"])
+    if expect_sd != saved_sd:
+        missing = sorted(set(expect_sd) - set(saved_sd))[:3]
+        extra = sorted(set(saved_sd) - set(expect_sd))[:3]
+        shapes = sorted(
+            k for k in set(expect_sd) & set(saved_sd)
+            if expect_sd[k] != saved_sd[k]
+        )[:3]
+        raise ValueError(
+            f"checkpoint {run_dir}/checkpoints/{r}/{int(step)} does not match "
+            f"the run's ModelConfig (stale architecture?): "
+            f"missing={missing} extra={extra} shape/dtype-mismatch={shapes}"
+        )
+    restored = mgr.restore(int(step), args=ocp.args.StandardRestore(template))
     ckpts.close()
     return cfg.model, restored["params"]

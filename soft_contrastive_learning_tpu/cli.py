@@ -35,6 +35,12 @@ def _bool_flag(s: str) -> bool:
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    # Named config bundle overlaid on the flag-built config (core/config.py::
+    # TRAIN_PRESETS): `--preset tpu-flagship` is the measured production
+    # recommendation (tpb=4, base_lr x2, K=1, synchronous order-only mining).
+    p.add_argument("--preset", default="",
+                   help="named config bundle applied over the flags "
+                        "(e.g. tpu-flagship; see core/config.py TRAIN_PRESETS)")
     # Data roots (filesystem contract, reference train/train.py:1226-1233)
     p.add_argument("--img_root", default="")
     p.add_argument("--shuffled_root", default="")
@@ -191,6 +197,10 @@ def cmd_train(args) -> int:
     from soft_contrastive_learning_tpu.train.trainer import Trainer
 
     cfg = config_from_args(args)
+    if args.preset:
+        from soft_contrastive_learning_tpu.core.config import apply_preset
+
+        cfg = apply_preset(cfg, args.preset)
     out_folder = args.out_folder or cfg.encode_name()
     out_dir = os.path.join(args.out_root, out_folder)
 
@@ -363,8 +373,13 @@ def cmd_topn(args) -> int:
 def cmd_roc(args) -> int:
     from soft_contrastive_learning_tpu.evaluation.roc import compile_roc
 
+    kwargs = {}
+    if args.queries:
+        kwargs["queries"] = tuple(
+            (name, name, 0) for name in args.queries.split(",")
+        )
     out = compile_roc(args.top_n_root, args.out_root,
-                      setting=f"l{args.l}_dim{args.d}")
+                      setting=f"l{args.l}_dim{args.d}", **kwargs)
     print(out or "no top-n pickles found")
     return 0 if out else 1
 
@@ -649,6 +664,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out_root", default="figs")
     p.add_argument("--l", default="0.0")
     p.add_argument("--d", type=int, default=256)
+    p.add_argument("--queries", default="",
+                   help="comma-separated query-set names to plot instead of "
+                        "the reference's five paper conditions (roc.py "
+                        "DEFAULT_QUERIES), e.g. 'toy_query'")
     p.set_defaults(func=cmd_roc)
 
     p = sub.add_parser("prep", help="run the RobotCar ETL pipeline")

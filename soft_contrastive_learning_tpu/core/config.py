@@ -308,6 +308,42 @@ class TrainConfig:
             return cls.from_dict(json.load(f))
 
 
+# Named config bundles for `scl-tpu train --preset <name>`. Values are
+# dataclasses.replace overrides applied ON TOP of the flag-built config, so
+# a preset is reproducible regardless of flag defaults drifting.
+#
+# tpu-flagship is the measured production recommendation (docs/TRAINBENCH.md
+# round 4; confirmed at the full 5-epoch budget in docs/QUALITY.md round 5):
+# B = 4 tuples x 25 imgs = 100 images/step is the relay-chip throughput knee
+# (+40% over the reference's B=50 geometry at 94.3% device busy), linear LR
+# scaling (base_lr x2 = 1e-5) keeps held-out recall inside the B=50 seed
+# spread, K=1 because fused dispatch hurts at B>=100 on relay-attached
+# chips, and async_mining=False because the synchronous order-only mining
+# refresh measured faster end-to-end there (order-only engages automatically
+# whenever no host-side PCA state needs the embedded window).
+TRAIN_PRESETS: Dict[str, Dict[str, Any]] = {
+    "tpu-flagship": {
+        "tuples_per_batch": 4,
+        "base_lr": 1e-5,  # reference 5e-6 (train/train.py:1246) x2
+        "steps_per_dispatch": 1,
+        "async_mining": False,
+        "device_image_pool": True,
+    },
+}
+
+
+def apply_preset(cfg: TrainConfig, name: str) -> TrainConfig:
+    """Overlay a named preset's overrides on ``cfg`` (preset wins over
+    conflicting flags — it is the point of asking for one)."""
+    try:
+        overrides = TRAIN_PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {sorted(TRAIN_PRESETS)}"
+        )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def unique_out_dir(out_root: str, base_name: str) -> str:
     """Auto-increment ``_{k:03d}`` suffix when the dir exists
     (reference train/train.py:1394-1400)."""

@@ -35,6 +35,36 @@ def test_train_flag_parity_builds_config(tmp_path):
     assert cfg.loss.ms_mining is True
 
 
+def test_tpu_flagship_preset_builds_measured_winner():
+    """`--preset tpu-flagship` must build EXACTLY the measured-winner config
+    (docs/TRAINBENCH.md round 4: tpb=4 + base_lr x2 + K=1 + synchronous
+    order-only mining), regardless of the flags it is overlaid on."""
+    import argparse
+
+    from soft_contrastive_learning_tpu.cli import _add_train_flags, config_from_args
+    from soft_contrastive_learning_tpu.core.config import apply_preset
+
+    p = argparse.ArgumentParser()
+    _add_train_flags(p)
+    # conflicting flags: the preset must win over every one of them
+    args = p.parse_args([
+        "--loss", "wms", "--tuples_per_batch", "2", "--base_lr", "5e-6",
+        "--steps_per_dispatch", "4", "--async_mining", "True",
+    ])
+    cfg = apply_preset(config_from_args(args), "tpu-flagship")
+    assert cfg.tuples_per_batch == 4  # B = 4 x 25 = 100 images/step
+    assert cfg.base_lr == pytest.approx(1e-5)  # reference 5e-6 x2
+    assert cfg.steps_per_dispatch == 1
+    assert cfg.async_mining is False
+    assert cfg.device_image_pool is True
+    # non-preset flags pass through untouched
+    assert cfg.loss.name == "wms"
+    assert cfg.images_per_batch == 100
+
+    with pytest.raises(ValueError, match="unknown preset"):
+        apply_preset(config_from_args(args), "nope")
+
+
 def test_cli_topn_and_roc(tmp_path, rng):
     # feature pickles + csvs
     r, q, d = 40, 6, 16

@@ -202,3 +202,49 @@ def test_eval_artifacts_with_plots(tmp_path):
     trip = load_img(imgs[0])
     assert trip.shape[1] >= 3 * 60  # three panels side by side
     tr.close()
+
+
+def test_load_run_params_restores_typed_and_rejects_stale_arch(tmp_path):
+    """load_run_params must restore against a typed target tree (no orbax
+    'generally UNSAFE' untyped restore) and fail LOUDLY when the checkpoint's
+    params don't match the run's own ModelConfig (round-4 verdict #3)."""
+    import dataclasses
+
+    import jax
+
+    from soft_contrastive_learning_tpu.checkpoints.manager import (
+        RunCheckpoints,
+        load_run_params,
+    )
+    from soft_contrastive_learning_tpu.models.model import init_params
+    from soft_contrastive_learning_tpu.train.step import init_train_state
+
+    cfg = _cfg()
+    run_dir = str(tmp_path / "run")
+    cfg.save(os.path.join(run_dir, "config.json"))
+
+    # Matching save -> typed restore round-trips exactly.
+    params = init_params(cfg.model, jax.random.key(0))
+    ck = RunCheckpoints(run_dir)
+    ck.save("part", 3, init_train_state(cfg, params))
+    ck.wait()
+    ck.close()
+    mcfg, restored = load_run_params(run_dir)
+    assert mcfg == cfg.model
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored,
+        params,
+    )
+
+    # Stale architecture (different vlad_cores than config.json) fails loudly.
+    stale_dir = str(tmp_path / "stale")
+    cfg.save(os.path.join(stale_dir, "config.json"))
+    stale_model = dataclasses.replace(cfg.model, vlad_cores=4)
+    stale_params = init_params(stale_model, jax.random.key(0))
+    ck = RunCheckpoints(stale_dir)
+    ck.save("part", 3, init_train_state(cfg, stale_params))
+    ck.wait()
+    ck.close()
+    with pytest.raises(ValueError, match="stale architecture"):
+        load_run_params(stale_dir)
