@@ -122,6 +122,20 @@ def main():
             f"worst {err_delta.max():.2f}",
             flush=True,
         )
+        # breakdown at the metric's own 10 m threshold: a disagreement only
+        # threatens the gated recall when float was RIGHT and int8 becomes
+        # WRONG — count the four cells so the worst-case delta above can be
+        # attributed (already-lost queries swapping between far-side
+        # candidates are recall-neutral at any reference density)
+        f_ok, q_ok = g_float < 10.0, g_int8 < 10.0
+        print(
+            "disagreement cells @10m: "
+            f"float-ok->int8-ok {int((f_ok & q_ok).sum())}, "
+            f"float-ok->int8-WRONG {int((f_ok & ~q_ok).sum())}, "
+            f"float-wrong->int8-ok {int((~f_ok & q_ok).sum())}, "
+            f"both-wrong {int((~f_ok & ~q_ok).sum())}",
+            flush=True,
+        )
     else:
         print("top-1 disagreements: 0", flush=True)
 
