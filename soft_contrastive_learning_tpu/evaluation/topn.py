@@ -28,7 +28,7 @@ from soft_contrastive_learning_tpu.ops.topk import (
 # Above this many reference rows, retrieval streams over HBM tiles instead of
 # materializing the (Q, R) distance matrix.
 _TILED_THRESHOLD = 200_000
-from soft_contrastive_learning_tpu.pca.whiten import PCAWhitener, fit_pca
+from soft_contrastive_learning_tpu.pca.whiten import fit_pca
 from soft_contrastive_learning_tpu.utils.io import save_pickle
 
 DEFAULT_L = (0.0, 0.3, 1.0, 5.0)
@@ -138,8 +138,17 @@ def get_top_n(
     if not usable_dims:
         return out_paths
     # PCA components nest: one fit at the largest dim, sliced per d (saves
-    # |dims|-1 Gram eighs over the full held-out dump).
+    # |dims|-1 Gram eighs over the full held-out dump). The whitened
+    # PROJECTIONS nest too — each output column is (x - mean) @ c_j / s_j,
+    # independent of d — so the ref/query dumps are transformed ONCE at the
+    # largest dim and column-sliced per d below, instead of re-shipping the
+    # full-width dumps to the device |dims| times (at the flagship width
+    # that is 7 x ~430 MB of host->HBM traffic for the reference sweep).
     full_whitener = fit_pca(jnp.asarray(pca_features), max(usable_dims))
+    ref_full = np.asarray(full_whitener.transform(jnp.asarray(ref_features)))
+    query_full = np.asarray(
+        full_whitener.transform(jnp.asarray(query_features))
+    )
     # The spatial subsample depends only on the spacing — compute each once.
     subsample_cache = {
         spacing: spatial_subsample(np.asarray(ref_xy), spacing)
@@ -155,13 +164,8 @@ def get_top_n(
         )
         geo_cache[spacing] = (xy_d, np.argmin(xy_d, axis=1))
     for d in usable_dims:
-        whitener = PCAWhitener(
-            components=full_whitener.components[:d],
-            mean=full_whitener.mean,
-            explained_variance=full_whitener.explained_variance[:d],
-        )
-        ref_f = np.asarray(whitener.transform(jnp.asarray(ref_features)))
-        query_f = np.asarray(whitener.transform(jnp.asarray(query_features)))
+        ref_f = ref_full[:, :d]
+        query_f = query_full[:, :d]
         for spacing in spacings:
             setting = f"l{spacing}_dim{d}"
             folder = os.path.join(out_root, setting)

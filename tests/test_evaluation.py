@@ -102,6 +102,32 @@ def test_get_top_n_sweep(tmp_path, rng):
     assert out2 == out
 
 
+def test_whitened_projection_nests(rng):
+    """get_top_n's dim sweep slices ONE full-dim whitened projection; that is
+    exact only because each whitened output column (x - mean) @ c_j / s_j is
+    independent of the requested dim — pin the slice against a fresh per-dim
+    transform AND against sklearn's per-dim fit (up to component sign)."""
+    import jax.numpy as jnp
+    from sklearn.decomposition import PCA
+
+    from soft_contrastive_learning_tpu.pca.whiten import PCAWhitener, fit_pca
+
+    fit_on = rng.standard_normal((60, 24)).astype(np.float32)
+    x = rng.standard_normal((9, 24)).astype(np.float32)
+    full = fit_pca(jnp.asarray(fit_on), 16)
+    sliced = np.asarray(full.transform(jnp.asarray(x)))[:, :6]
+    per_dim = PCAWhitener(
+        components=full.components[:6],
+        mean=full.mean,
+        explained_variance=full.explained_variance[:6],
+    )
+    np.testing.assert_allclose(
+        sliced, np.asarray(per_dim.transform(jnp.asarray(x))), atol=1e-6
+    )
+    skl = PCA(n_components=6, whiten=True).fit(fit_on).transform(x)
+    np.testing.assert_allclose(np.abs(sliced), np.abs(skl), atol=2e-4)
+
+
 def test_roc_compile(tmp_path, rng):
     # synthesize two models' top-n pickles for two query sets
     setting = "l0.0_dim8"

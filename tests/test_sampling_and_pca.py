@@ -236,6 +236,28 @@ def test_streaming_pca_whiten(rng):
     np.testing.assert_allclose(pca2.whiten(x[:5]), w[:5], atol=1e-5)
 
 
+def test_fit_pca_host_eigh_matches_device(rng):
+    """The host-LAPACK eigh dispatch (used automatically above
+    _HOST_EIGH_THRESHOLD, where XLA's TPU eigh is ~20x slower than one-core
+    LAPACK) must produce the same whitening as the on-device path, up to
+    per-component sign — both Gram (N<=D) and covariance (N>D) branches."""
+    import jax.numpy as jnp
+
+    for shape in ((40, 60), (60, 12)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        k = 8
+        dev = fit_pca(jnp.asarray(x), k, host_eigh=False)
+        host = fit_pca(jnp.asarray(x), k, host_eigh=True)
+        got_d = np.asarray(dev.transform(jnp.asarray(x)))
+        got_h = np.asarray(host.transform(jnp.asarray(x)))
+        signs = np.sign(np.sum(got_d * got_h, axis=0))
+        np.testing.assert_allclose(got_h * signs, got_d, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(host.explained_variance),
+            np.asarray(dev.explained_variance), rtol=1e-3,
+        )
+
+
 def test_fit_pca_matches_sklearn(rng):
     import jax.numpy as jnp
     from sklearn.decomposition import PCA
