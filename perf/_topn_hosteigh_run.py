@@ -9,15 +9,15 @@ and in the near-degenerate eigenvalue tail (where whitening divides by
 sqrt of a tiny eigenvalue) the two pick different rotations of the same
 subspace, flipping near-ties in neighbor ranking. The host path matches
 the numerics the reference itself used (sklearn PCA = host float64
-LAPACK, reference evaluation/top-n.py:74-77). This prints top-1/top-25
-agreement and the localization metrics both ways so the committed log
-shows the flips are metric-irrelevant. Log -> perf/_topn_hosteigh.log."""
+LAPACK, reference evaluation/top-n.py:74-77). The comparison (shared
+with perf/_topn_hosteigh_cmp.py) prints top-1/top-25 agreement and the
+localization metrics both ways so the committed log shows the flips are
+metric-irrelevant. Log -> perf/_topn_hosteigh.log."""
 
 import os
-import pickle
 import time
 
-import numpy as np
+from _topn_hosteigh_cmp import compare
 
 from soft_contrastive_learning_tpu.cli import main as cli
 
@@ -42,36 +42,4 @@ assert rc == 0, "topn failed"
 dt = time.time() - t0
 print(f"topn sweep (nested transform + host eigh): {dt:.1f}s", flush=True)
 
-base_root = os.path.join(root, "top_n")
-print("setting          top1!=  t25ovl  %<5m(dev) %<5m(host) %<10m d %<10m h",
-      flush=True)
-worst = 0.0
-for setting in sorted(os.listdir(base_root)):
-    a = os.path.join(base_root, setting, "toy_query_wms.pickle")
-    b = os.path.join(out_root, setting, "toy_query_wms.pickle")
-    with open(a, "rb") as f:
-        pa = pickle.load(f)
-    with open(b, "rb") as f:
-        pb = pickle.load(f)
-    ia, ib = np.asarray(pa[0]), np.asarray(pb[0])
-    ga, gb = np.asarray(pa[1]), np.asarray(pb[1])  # top-N geo dists
-    n = ia.shape[0]
-    top1_diff = int((ia[:, 0] != ib[:, 0]).sum())
-    ovl = np.mean([
-        len(set(ia[q]) & set(ib[q])) / ia.shape[1] for q in range(n)
-    ])
-    m = {}
-    for tag, g in (("dev", ga), ("host", gb)):
-        for t in (5.0, 10.0):
-            m[(tag, t)] = float((g[:, 0] < t).mean() * 100.0)
-    worst = max(worst, abs(m[("dev", 5.0)] - m[("host", 5.0)]),
-                abs(m[("dev", 10.0)] - m[("host", 10.0)]))
-    d_idx = np.nonzero(ia[:, 0] != ib[:, 0])[0]
-    deltas = np.abs(ga[d_idx, 0] - gb[d_idx, 0]) if len(d_idx) else []
-    print(f"{setting:16s} {top1_diff:5d}  {ovl*100:5.1f}%  "
-          f"{m[('dev',5.0)]:8.1f} {m[('host',5.0)]:9.1f} "
-          f"{m[('dev',10.0)]:6.1f} {m[('host',10.0)]:6.1f}"
-          + (f"   max|d_geo delta| {max(deltas):.2f} m" if len(d_idx) else ""),
-          flush=True)
-print(f"worst metric delta across all settings/thresholds: {worst:.2f} pts",
-      flush=True)
+compare(os.path.join(root, "top_n"), out_root)

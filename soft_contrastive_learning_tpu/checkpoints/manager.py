@@ -205,6 +205,16 @@ def load_run_params(run_dir: str, role: Optional[str] = None):
     cfg = TrainConfig.load(cfg_path)
     # enabled=False: loading must never create directories in the run
     ckpts = RunCheckpoints(run_dir, max_to_keep=cfg.max_to_keep, enabled=False)
+    # close() in finally: the raise paths below (no checkpoints, stale
+    # architecture, restore errors) must not leak the managers' non-daemon
+    # orbax worker threads in long-lived callers that catch the exception.
+    try:
+        return _load_run_params_inner(ckpts, run_dir, cfg, role)
+    finally:
+        ckpts.close()
+
+
+def _load_run_params_inner(ckpts, run_dir, cfg, role):
     roles = [role] if role else list(RunCheckpoints.ROLES)
     # Roles use different step units ('epoch' saves step=epoch index,
     # 'rolling'/'part' save the global step), so raw step numbers are not
@@ -274,5 +284,4 @@ def load_run_params(run_dir: str, role: Optional[str] = None):
             f"missing={missing} extra={extra} shape/dtype-mismatch={shapes}"
         )
     restored = mgr.restore(int(step), args=ocp.args.StandardRestore(template))
-    ckpts.close()
     return cfg.model, restored["params"]

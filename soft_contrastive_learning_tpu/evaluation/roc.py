@@ -91,8 +91,13 @@ def compile_roc(
     import matplotlib.pyplot as plt
 
     os.makedirs(out_root, exist_ok=True)
-    rows, cols = 2, 3
-    fig, axs = plt.subplots(rows, cols, figsize=(10, 8))
+    # The reference's fixed 2x3 sheet (5 query panels + the legend cell,
+    # reference evaluation/roc.py:98-99) is the floor; a longer --queries
+    # list grows the sheet by whole columns so the legend always keeps the
+    # last cell instead of overdrawing (or overflowing) a panel.
+    rows = 2
+    cols = max(3, -(-(len(queries) + 1) // rows))
+    fig, axs = plt.subplots(rows, cols, figsize=(10 * cols / 3, 8))
     found_any = False
 
     for i, (query, title, min_y) in enumerate(queries):

@@ -156,6 +156,29 @@ def test_roc_compile(tmp_path, rng):
     assert 0 <= y.min() and y.max() <= 100
 
 
+def test_roc_compile_many_queries(tmp_path, rng):
+    """More query conditions than the reference's fixed 2x3 sheet holds
+    (5 panels + legend) must grow the grid by columns, not crash with an
+    IndexError or let the legend overdraw the sixth panel."""
+    setting = "l0.0_dim8"
+    os.makedirs(tmp_path / "topn" / setting)
+    names = [f"cond{i}" for i in range(7)]
+    for q in names:
+        top_g = np.abs(rng.standard_normal((12, 5))) * 5.0
+        gt = np.abs(rng.standard_normal(12)) * 2.0
+        save_pickle(
+            [np.zeros((12, 5), int).tolist(), top_g.tolist(),
+             np.zeros((12, 5)), [0] * 12, gt, list(range(20))],
+            str(tmp_path / "topn" / setting / f"{q}_wms.pickle"),
+        )
+    queries = tuple((q, q, 0) for q in names)
+    series = (RocSeries("wms", "Ours"),)
+    pdf = compile_roc(
+        str(tmp_path / "topn"), str(tmp_path / "figs"), setting, queries, series
+    )
+    assert pdf is not None and os.path.exists(pdf)
+
+
 def test_roc_compile_empty(tmp_path):
     assert compile_roc(str(tmp_path / "none"), str(tmp_path / "figs")) is None
 

@@ -248,3 +248,38 @@ def test_load_run_params_restores_typed_and_rejects_stale_arch(tmp_path):
     ck.close()
     with pytest.raises(ValueError, match="stale architecture"):
         load_run_params(stale_dir)
+
+
+def test_load_run_params_closes_managers_on_error(tmp_path, monkeypatch):
+    """The stale-architecture raise path must still close the read-only
+    RunCheckpoints (orbax managers own non-daemon worker threads; a caller
+    that catches the ValueError must not accumulate leaked managers)."""
+    import dataclasses
+
+    import jax
+
+    from soft_contrastive_learning_tpu.checkpoints import manager as mgr_mod
+    from soft_contrastive_learning_tpu.models.model import init_params
+    from soft_contrastive_learning_tpu.train.step import init_train_state
+
+    cfg = _cfg()
+    stale_dir = str(tmp_path / "stale")
+    cfg.save(os.path.join(stale_dir, "config.json"))
+    stale_model = dataclasses.replace(cfg.model, vlad_cores=4)
+    stale_params = init_params(stale_model, jax.random.key(0))
+    ck = mgr_mod.RunCheckpoints(stale_dir)
+    ck.save("part", 3, init_train_state(cfg, stale_params))
+    ck.wait()
+    ck.close()
+
+    closed = []
+    orig_close = mgr_mod.RunCheckpoints.close
+
+    def counting_close(self):
+        closed.append(True)
+        orig_close(self)
+
+    monkeypatch.setattr(mgr_mod.RunCheckpoints, "close", counting_close)
+    with pytest.raises(ValueError, match="stale architecture"):
+        mgr_mod.load_run_params(stale_dir)
+    assert closed, "load_run_params leaked its CheckpointManager on the error path"
