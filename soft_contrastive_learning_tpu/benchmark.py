@@ -15,7 +15,13 @@ The swept configs come from the shipped serving definition
   statistics, with seed-0 as the recorded fallback.
 * **bf16 @ batch 512** — one short confirmation config (the bf16 knee is
   flat at ~5.9k, perf/_embed_sweep.log; re-deriving the settled sweep
-  every run cost round 3 ~14 min of driver wall time).
+  every run cost round 3 ~14 min of driver wall time). Uses the XLA
+  NetVLAD aggregation so the WHOLE sweep is covered by the committed
+  compile cache: the Pallas aggregation's Mosaic kernel re-compiles
+  remotely on every process start (not persisted by the JAX cache), and
+  in a degraded-relay window that compile alone blew the 660 s child
+  budget twice (perf/_bench_r5_warm2.log). Measured rate parity at the
+  confirm batch: XLA 5,543.4 vs Pallas 5,513.8-5,520.0 img/s.
 
 Robustness (round-3 lesson): BENCH_r03.json recorded rc=1 because a
 transient relay outage ("TPU worker process crashed") zeroed every config
@@ -169,9 +175,13 @@ def measure_config(precision: str, batch_size: int, iters: int) -> dict:
     if precision == "bf16":
         from soft_contrastive_learning_tpu.models.model import create_model
 
-        # bf16 TPU forward ships the Pallas NetVLAD aggregation (measured
-        # float-path winner; the int8 winner is the XLA aggregation)
-        bcfg = flagship.flagship_model_config(use_pallas=on_tpu)
+        # XLA aggregation, deliberately: rate parity with the Pallas path
+        # at this batch (5,543.4 vs 5,513.8-5,520.0 img/s) and the program
+        # persists in the committed compile cache, where the Pallas
+        # kernel's Mosaic compile re-runs remotely every process start —
+        # measured blowing the child budget in a degraded-relay window
+        # (perf/_bench_r5_warm2.log). Pallas parity stays test-covered.
+        bcfg = flagship.flagship_model_config(use_pallas=False)
         model = create_model(bcfg)
         record["rate"] = _timed_scan(
             lambda p, x: model.apply({"params": p}, x)[0],
