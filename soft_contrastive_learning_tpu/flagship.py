@@ -107,7 +107,8 @@ def save_trained_params(params, path: Optional[str] = None) -> None:
     for k, v in _flatten_params(params).items():
         if not np.isfinite(v).all():
             raise ValueError(f"non-finite values in param {k!r}; not exporting")
-        f16 = v.astype(np.float16)
+        with np.errstate(over="ignore"):  # overflow is detected and raised below
+            f16 = v.astype(np.float16)
         if not np.isfinite(f16).all():
             raise ValueError(
                 f"param {k!r} overflows float16 storage "
