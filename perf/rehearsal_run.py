@@ -32,7 +32,19 @@ def main():
 
     from soft_contrastive_learning_tpu.cli import main as cli
 
-    run_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scl_quality_run_r5"
+    # default checkpoint: a local 5-epoch quality run when present, else the
+    # COMMITTED trained artifact — so the whole rehearsal is reproducible
+    # from a fresh checkout (corpus render + this script), no training run
+    # required (cli._load_model_params accepts the flagship npz directly).
+    default_ckpt = "/tmp/scl_quality_run_r5"
+    if len(sys.argv) > 1:
+        run_dir = sys.argv[1]
+    elif os.path.isdir(default_ckpt):
+        run_dir = default_ckpt
+    else:
+        from soft_contrastive_learning_tpu import flagship
+
+        run_dir = flagship.TRAINED_PARAMS_PATH
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scl_rehearsal"
     csv_root = os.path.join(root, "lists")
     img_root = os.path.join(root, "imgs")

@@ -117,12 +117,22 @@ def _timed_scan(embed_fn, params, cfg, batch_size, iters, compiler_options=None)
         return outs.sum()
 
     f = jax.jit(many, compiler_options=compiler_options)
-    x = jnp.asarray(
-        np.random.default_rng(0).random(
-            (batch_size, cfg.image_height, cfg.image_width, 3), np.float32
+    # Ship the batch as uint8 pixels and cast on device: 4x less relay
+    # traffic (bs 1536: 99 MB vs 398 MB float32), which is the difference
+    # between finishing and blowing the child budget in a degraded-relay
+    # window (measured 2026-08-21: large H2D intermittently fell to ~1 MB/s
+    # while the chip itself was healthy). The timed program still takes the
+    # float32 batch — the cast is a separate tiny jit — so the committed
+    # compile cache's conv-stack blobs stay valid, and the timed region is
+    # unchanged (the batch was always uploaded once, outside the scan).
+    u8 = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (batch_size, cfg.image_height, cfg.image_width, 3),
+            np.uint8,
         )
-        * 255.0
     )
+    x = jax.jit(lambda v: v.astype(jnp.float32))(u8)
+    del u8
     float(f(params, x))  # compile + warm
     best = 0.0
     for _ in range(2):  # best-of-2 guards against a transient relay stall

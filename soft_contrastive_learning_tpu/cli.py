@@ -312,11 +312,31 @@ def _load_model_params(cfg, checkpoint: str):
     from soft_contrastive_learning_tpu.models.model import init_params
 
     if checkpoint.endswith(".npz"):
+        # A flagship params artifact (the committed trained model,
+        # assets/flagship_trained.npz) loads directly when its key set
+        # matches the flag-built architecture; any other .npz is treated
+        # as a TF1 checkpoint export. The flagship loader validates keys
+        # and shapes exactly, so the dispatch cannot half-load.
+        from soft_contrastive_learning_tpu import flagship
+
+        try:
+            params = flagship.load_trained_params(cfg, checkpoint)
+        except ValueError:
+            params = None
+        if params is not None:
+            print(f"loaded flagship artifact {checkpoint}")
+            return cfg, params
         from soft_contrastive_learning_tpu.checkpoints.manager import warm_start_params
         from soft_contrastive_learning_tpu.models.convert_tf1 import convert_checkpoint
 
         donor, _ = convert_checkpoint(checkpoint)
         params, copied = warm_start_params(init_params(cfg, jax.random.key(0)), donor)
+        if not copied:
+            raise SystemExit(
+                f"--checkpoint {checkpoint!r} matched ZERO variables — "
+                "neither a flagship params artifact for this architecture "
+                "nor a TF1 export with recognizable names; refusing to run "
+                "on silently-random params")
         print(f"warm-started {copied} from {checkpoint}")
         return cfg, params
     if checkpoint and os.path.isdir(checkpoint):
@@ -342,7 +362,8 @@ def cmd_infer(args) -> int:
     cfg, params = _load_model_params(cfg, args.checkpoint)
     out = run_inference(cfg, params, args.set, args.csv_root, args.img_root,
                         args.out_root, args.out_name,
-                        batch_size=args.images_per_pass)
+                        batch_size=args.images_per_pass,
+                        dump_dtype=args.dump_dtype)
     print(out)
     return 0
 
@@ -645,6 +666,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--reduction", default="none")
     p.add_argument("--vlad_cores", type=int, default=64)
     p.add_argument("--images_per_pass", type=int, default=32)
+    p.add_argument("--dump_dtype", default="float32",
+                   choices=("float32", "float16"),
+                   help="storage dtype of the feature dump; float16 halves "
+                        "the pipeline's dominant disk/transfer cost "
+                        "(characterized in docs/REHEARSAL.md)")
     p.set_defaults(func=cmd_infer)
 
     p = sub.add_parser("topn", help="top-N retrieval sweep")
@@ -772,7 +798,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(func=cmd_parity)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     return args.func(args)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI run, on by default.
+
+    Remote compiles through the TPU relay cost 2-40 s per program and the
+    CLI workflows re-pay them every invocation (the top-N sweep alone
+    compiles ~28 retrieval shapes; the flagship forward is 20-40 s). The
+    cache is keyed by XLA's own fingerprint, so staleness is impossible —
+    a toolchain bump just misses and re-fills. Opt out with
+    SCL_COMPILE_CACHE_DIR=off; an explicit JAX_COMPILATION_CACHE_DIR (how
+    benchmark.py points children at the committed perf/jax_cache) wins."""
+    d = os.environ.get("SCL_COMPILE_CACHE_DIR", "")
+    if d.lower() == "off" or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    d = d or os.path.join(
+        os.path.expanduser("~"), ".cache", "scl_tpu", "jax_cache"
+    )
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # default threshold (1 s) skips the small per-shape retrieval
+        # programs that dominate the sweep's compile count
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass  # cache is an optimization; never fail a CLI run over it
 
 
 if __name__ == "__main__":

@@ -126,8 +126,17 @@ def run_inference(
     out_name: str,
     batch_size: int = 32,
     mesh=None,
+    dump_dtype: str = "float32",
 ) -> str:
-    """CSV image list -> feature pickle ``{set}_{out_name}.pickle``."""
+    """CSV image list -> feature pickle ``{set}_{out_name}.pickle``.
+
+    ``dump_dtype='float16'`` halves the dump (the flagship 32,768-D dumps
+    are the paper pipeline's dominant disk + host->device transfer cost:
+    ~1 GB per rehearsal corpus at float32). Descriptors are unit-norm, so
+    |v| <= 1 and float16 cannot overflow; the rounding's retrieval-metric
+    effect is characterized in docs/REHEARSAL.md (same protocol as the
+    host-eigh swap). Downstream needs no changes: top-N ships the stored
+    dtype to the device and PCA casts to float32 there."""
     meta = load_csv(os.path.join(csv_root, f"{set_name}.csv"))
     paths = list(meta["path"])
     if "oxs" in set_name:  # reference quirk: jpg variants for 'oxs' sets
@@ -138,6 +147,9 @@ def run_inference(
         raw_descriptor=cfg.reduction in ("none", "pca"),
     )
     features = extractor.extract_files(paths, img_root)
+    if dump_dtype not in ("float32", "float16"):
+        raise ValueError(f"dump_dtype must be float32|float16, got {dump_dtype!r}")
+    features = features.astype(np.dtype(dump_dtype), copy=False)
     os.makedirs(out_root, exist_ok=True)
     out_path = os.path.join(out_root, f"{set_name}_{out_name}.pickle")
     save_pickle(features, out_path)

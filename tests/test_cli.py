@@ -128,3 +128,61 @@ def test_model_grad_in(rng):
     x = np.ones((1, 32, 32, 3), np.float32)
     out, full, grad_in = model.apply({"params": params}, x, return_grad_in=True)
     assert grad_in.shape == (1, 2, 2, 512)
+
+
+def test_cli_compile_cache_wiring(tmp_path, monkeypatch):
+    """Every CLI run points JAX's persistent compile cache at a real dir by
+    default; SCL_COMPILE_CACHE_DIR overrides it and 'off' (or an explicit
+    JAX_COMPILATION_CACHE_DIR, the benchmark-child convention) disables the
+    default wiring."""
+    import jax
+
+    from soft_contrastive_learning_tpu.cli import _enable_compile_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.setenv("SCL_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
+        _enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert os.path.isdir(tmp_path / "cc")
+
+        # opt-out leaves whatever was configured untouched
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "keep"))
+        monkeypatch.setenv("SCL_COMPILE_CACHE_DIR", "off")
+        _enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "keep")
+
+        # an explicit benchmark-style env var also disables the default
+        monkeypatch.setenv("SCL_COMPILE_CACHE_DIR", str(tmp_path / "cc2"))
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jc"))
+        _enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "keep")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_load_model_params_flagship_artifact():
+    """--checkpoint <flagship npz> loads the committed trained artifact
+    directly (no TF1 conversion) when the flag-built architecture matches;
+    a non-flagship architecture falls through to the TF1 interpretation and
+    fails loudly rather than half-loading."""
+    import pytest as _pytest
+
+    from soft_contrastive_learning_tpu import flagship
+    from soft_contrastive_learning_tpu.cli import _load_model_params
+    from soft_contrastive_learning_tpu.core.config import ModelConfig
+
+    if not os.path.exists(flagship.TRAINED_PARAMS_PATH):
+        _pytest.skip("no committed trained artifact")
+    cfg = ModelConfig(vlad_cores=64, reduction="none")
+    out_cfg, params = _load_model_params(cfg, flagship.TRAINED_PARAMS_PATH)
+    assert out_cfg is cfg
+    leaves = [x for x in __import__("jax").tree_util.tree_leaves(params)]
+    assert leaves and all(l.size for l in leaves)
+
+    # wrong architecture: the flagship key check rejects, and the TF1
+    # converter then rejects the artifact's non-TF1 names
+    bad = ModelConfig(vlad_cores=8, reduction="none")
+    with _pytest.raises(SystemExit, match="ZERO variables"):
+        _load_model_params(bad, flagship.TRAINED_PARAMS_PATH)

@@ -266,3 +266,47 @@ def test_experiments_registry(tmp_path):
     assert checkpoint_code_name("/runs/al0.8_be15_lowms_000/epoch-checkpoint-2") == (
         "al08_be15_lowms_000_e2"
     )
+
+
+def test_inference_float16_dump_roundtrip(tmp_path):
+    """dump_dtype='float16' stores the dump at half size; loaded values match
+    the float32 dump to f16 rounding, and the top-N sweep on the f16 dump
+    reproduces the float32 retrieval at toy scale (the flagship-scale
+    characterization lives in docs/REHEARSAL.md)."""
+    city = ToyCity(num_points=6, seed=0, img_h=64, img_w=80)
+    city.write_to_disk(str(tmp_path / "imgs"))
+    rel = [f"{city.date}_stereo_centre_01/{t}.png" for t in city.meta()["t"]]
+    os.makedirs(tmp_path / "lists", exist_ok=True)
+    save_csv({"path": rel}, str(tmp_path / "lists" / "toy_ref.csv"))
+    cfg = ModelConfig(vlad_cores=8, reduction="none", image_height=64,
+                      image_width=80, compute_dtype="float32",
+                      use_pallas=False)
+    params = init_params(cfg, jax.random.key(0))
+    common = (cfg, params, "toy_ref", str(tmp_path / "lists"),
+              str(tmp_path / "imgs"))
+    p32 = run_inference(*common, str(tmp_path / "lv32"), "m", batch_size=4)
+    p16 = run_inference(*common, str(tmp_path / "lv16"), "m", batch_size=4,
+                        dump_dtype="float16")
+    f32 = np.asarray(load_pickle(p32))
+    f16 = np.asarray(load_pickle(p16))
+    assert f16.dtype == np.float16
+    assert os.path.getsize(p16) < 0.6 * os.path.getsize(p32)
+    np.testing.assert_allclose(f16.astype(np.float32), f32, atol=1e-3)
+    with pytest.raises(ValueError, match="dump_dtype"):
+        run_inference(*common, str(tmp_path / "lvbad"), "m",
+                      dump_dtype="bfloat16")
+
+    # retrieval equivalence through the real sweep (pca set = ref set here)
+    xy = np.stack([city.meta()["northing"], city.meta()["easting"]], 1).astype(
+        np.float64
+    )
+    outs = {}
+    for tag, feats in (("f32", f32), ("f16", f16)):
+        outs[tag] = get_top_n(
+            feats, feats, feats, xy, xy, str(tmp_path / f"topn_{tag}"),
+            "toy", n=3, spacings=(0.0,), dims=(4,),
+        )
+    a = load_pickle(outs["f32"]["l0.0_dim4"])
+    b = load_pickle(outs["f16"]["l0.0_dim4"])
+    assert a[0] == b[0]  # same retrieved indices
+    np.testing.assert_allclose(a[1], b[1])  # same geo distances
