@@ -148,7 +148,7 @@ def load_trained_params(cfg: ModelConfig, path: Optional[str] = None):
     dtype = np.dtype(cfg.param_dtype)
     rebuilt = []
     for key, leaf in _param_items(template):
-        arr = stored[key].astype(dtype)
+        arr = stored[key]
         if arr.shape != leaf.shape:
             raise ValueError(
                 f"{path}: shape mismatch at {key}: "
@@ -165,7 +165,17 @@ def load_trained_params(cfg: ModelConfig, path: Optional[str] = None):
     # /tmp/probe_provenance.py, round 4). The device argument matters:
     # device_put without one returns UNCOMMITTED arrays, which happened to
     # work but left the docstring's promise unheld (round-4 review).
-    return jax.device_put(tree, jax.devices()[0])
+    #
+    # The upload ships the artifact's float16 STORAGE dtype (half the
+    # bytes of the param dtype — ~65 vs ~130 MB for the flagship) and the
+    # cast to cfg.param_dtype happens on device; f16 -> wider is exact, so
+    # the result is bit-identical to casting on host before upload.
+    tree = jax.device_put(tree, jax.devices()[0])
+    if any(leaf.dtype != dtype for leaf in jax.tree_util.tree_leaves(tree)):
+        tree = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda a: a.astype(dtype), t)
+        )(tree)
+    return tree
 
 
 def flagship_params(cfg: ModelConfig) -> Tuple[object, str]:
